@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: StyleGAN2-ADA FFHQ-256 training throughput per chip.
+
+Measures the amortized imgs/sec of the real training phase mix (Dmain every
+batch, Dreg(R1) every 16, Gmain every batch, Greg(PPL) every 4 — the ffhq_sg2
+/ sg2ada lazy-regularization schedule, reference: configs/ffhq_sg2.yaml,
+trainers.py:601-633) on synthetic data at 256x256, bf16 blocks.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": R}
+
+Baseline: the PyTorch reference publishes no numbers (BASELINE.md).  The
+comparison anchor is the upstream NVlabs StyleGAN2-ADA figure its vendored
+code reproduces: paper256 on 8xV100 = 12.1 sec/kimg ~= 10.3 imgs/sec/GPU,
+doubled for an A100-class estimate => 21 imgs/sec/chip.  The target in
+BASELINE.json is >= 2x that.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REF_IMGS_PER_SEC_PER_CHIP = 21.0   # see module docstring / BASELINE.md
+
+RES = 256
+BATCH = 8                                # per-chip batch (paper256: 64/8)
+WARMUP_CYCLES = 1
+TIMED_CYCLES = 3
+CYCLE = 16                               # one lazy-reg period
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from style_big_gan_tpu import registries
+    registries._import_all()
+    from style_big_gan_tpu.augment.ada import AUGPIPE_SPECS, AugmentPipe
+    from style_big_gan_tpu.train.loss_arch import split_vars
+    from style_big_gan_tpu.train.state import create_train_state
+    from style_big_gan_tpu.train.steps import StepBuilder
+
+    G = registries.generators["sg2_classic"](
+        z_dim=512, w_dim=512, c_dim=0, img_resolution=RES, img_channels=3,
+        num_fp16_res=4, conv_clamp=256, mapping_kwargs={"num_layers": 8})
+    D = registries.discriminators["sg2_classic"](
+        c_dim=0, img_resolution=RES, img_channels=3, num_fp16_res=4,
+        conv_clamp=256)
+
+    arch = registries.losses_arch["sg2"](style_mixing_prob=0.9)
+    pipe = AugmentPipe(**AUGPIPE_SPECS["bgc"])
+    arch.initialize(G, D, registries.losses["softplus"](),
+                    [registries.generator_regs["ppl"]()],
+                    [registries.discriminator_regs["r1"]()], pipe)
+
+    z = jnp.zeros((BATCH, 512), jnp.float32)
+    img = jnp.zeros((BATCH, RES, RES, 3), jnp.float32)
+    g_vars = G.init({"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)}, z, None)
+    d_vars = D.init({"params": jax.random.PRNGKey(2)}, img, None)
+    pg, gs = split_vars(g_vars)
+    pd, ds = split_vars(d_vars)
+    opt = optax.adam(2.5e-3, b1=0.0, b2=0.99)
+    state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds, opt,
+                               opt, gen_regs=arch.gen_regs, ada_p=0.3)
+    steps = StepBuilder(arch, opt, opt, z_dim=512, num_accum_rounds=1,
+                        g_reg_gain=4.0, d_reg_gain=16.0, donate=True)
+    return jax, steps, state
+
+
+def main():
+    jax, steps, state = build()
+    rnd = np.random.RandomState(0)
+    real = jax.numpy.asarray(rnd.randn(BATCH, RES, RES, 3).astype(np.float32))
+    c = jax.numpy.zeros((BATCH, 0), np.float32)
+
+    def one_cycle(state):
+        imgs = 0
+        for i in range(CYCLE):
+            state, _ = steps.d_step(state, real, c, c)
+            if i % 16 == 0:
+                state, _ = steps.d_reg_step(state, real, c, c)
+            state, _ = steps.g_step(state, c, 0.998)
+            if i % 4 == 0:
+                state, _ = steps.g_reg_step(state, c)
+            imgs += BATCH
+        return state, imgs
+
+    for _ in range(WARMUP_CYCLES):
+        state, _ = one_cycle(state)
+    jax.block_until_ready(state.params_g)
+
+    t0 = time.time()
+    total = 0
+    for _ in range(TIMED_CYCLES):
+        state, imgs = one_cycle(state)
+        total += imgs
+    jax.block_until_ready(state.params_g)
+    dt = time.time() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    imgs_per_sec_chip = total / dt / n_chips
+    print(json.dumps({
+        "metric": "sg2ada_ffhq256_train_throughput",
+        "value": round(imgs_per_sec_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec_chip /
+                             A100_REF_IMGS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Config schema + loading: structured defaults -> YAML -> CLI dotlist.
+
+Keeps the reference's config UX (reference: arguments.py:19-158) — same group
+names (``exp/data/log/gen/perf/ema/aug/trans`` + auto-derived per-registry
+groups), same precedence (CLI wins over YAML wins over defaults) — so
+reference YAML configs port with minimal edits.  TPU adaptations:
+
+* ``perf`` speaks TPU: ``bf16`` instead of tf32/cudnn-bench flags, a device
+  ``mesh`` spec instead of ``gpus``.
+* augmentation presets (``blit``/``geom``/.../``bgc``/``bgcfnc``) are properly
+  registered config groups (fixing the reference quirk where the presets only
+  lived in the vendored train.py:271-283).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+from style_big_gan_tpu import registries
+from style_big_gan_tpu.utils import conf
+from style_big_gan_tpu.utils.conf import MISSING
+from style_big_gan_tpu.utils.registry import (ClassRegistry,
+                                              make_dataclass_from_classes)
+
+args = ClassRegistry()
+
+
+@args.add_to_registry("exp")
+@dataclass
+class ExperimentArgs:
+    config_dir: str = MISSING
+    config: str = MISSING
+    name: str = MISSING
+    project: str = "style-big-gan-tpu"
+    notes: str = "empty notes"
+    dry_run: bool = False
+    trainer: str = "base"
+
+
+@args.add_to_registry("data")
+@dataclass
+class DataArgs:
+    dataset: str = "image_folder"
+    dataloader: str = "basic"
+    dataset_path: str = "./data"
+    cond: bool = False
+    subset: int = 0
+    mirror: bool = False
+
+
+@args.add_to_registry("log")
+@dataclass
+class LogArgs:
+    snap: int = 50
+    output: str = "./outputs"
+    metrics: List[str] = field(default_factory=lambda: ["fid50k_full", "is50k"])
+    kimg_per_tick: int = 4
+    wandb: bool = False
+    tensorboard: bool = False
+
+
+@args.add_to_registry("gen")
+@dataclass
+class GenArgs:
+    kimg: int = -1
+    batch: int = -1
+    batch_device: int = 32       # per-device microbatch (reference batch_gpu)
+    seed: int = 0
+    generator: str = "sg2_classic"
+    discriminator: str = "sg2_classic"
+    optim_gen: str = "adam"
+    optim_disc: str = "adam"
+    gen_regs: List[str] = field(default_factory=list)
+    disc_regs: List[str] = field(default_factory=list)
+    loss_arch: str = "sg2"
+    loss: str = "softplus"
+    g_reg_interval: int = 16
+    d_reg_interval: int = 4
+    n_dis: int = 1
+
+
+@args.add_to_registry("perf")
+@dataclass
+class PerfArgs:
+    bf16: bool = True            # compute dtype for conv/matmul heavy blocks
+    num_fp16_res: int = 4        # how many top resolutions run in low precision
+    devices: int = -1            # -1 -> all visible devices
+    data_axis: str = "data"      # mesh axis for batch sharding
+    model_axis: str = "model"    # mesh axis for weight sharding (tensor parallel)
+    model_parallel: int = 1      # size of the model axis
+    use_pallas: bool = True      # pallas kernels where available (else pure XLA)
+    donate: bool = False         # donate state buffers into jitted steps
+    # (off by default: the axon-tunneled TPU backend rejects full-state
+    #  donation at runtime; flip on for memory savings on standard backends)
+    remat: bool = False          # jax.checkpoint the synthesis blocks
+
+
+@args.add_to_registry("ema")
+@dataclass
+class EmaArgs:
+    use_ema: bool = True
+    kimg: float = 20.0
+    ramp: float = -1.0
+
+
+@args.add_to_registry("aug")
+@dataclass
+class AugArgs:
+    aug: str = "ada"             # 'noaug' | 'ada' | 'fixed'
+    aug_type: str = "sg2_ada"
+    p: float = -1.0
+    target: float = -1.0
+    augpipe: str = "bgc"
+    ada_interval: int = 4
+    ada_kimg: int = 500
+
+
+@args.add_to_registry("trans")
+@dataclass
+class TransferArgs:
+    resume: str = "noresume"     # 'noresume' | 'from_data' | preset name | path
+    resume_url: str = ""
+    freezed: int = -1
+    resume_model: str = ""
+    resume_dir: str = ""
+    args_name: str = "training_options.json"
+
+
+_ARGS_CLASS = None
+
+
+def build_args_class():
+    """Assemble the full Args dataclass, including the auto-derived groups.
+
+    Mirrors reference arguments.py:112-143: each registry contributes a group
+    whose sub-groups are derived from registered-class ``__init__`` signatures.
+    """
+    global _ARGS_CLASS
+    if _ARGS_CLASS is not None:
+        return _ARGS_CLASS
+    registries._import_all()
+    groups = dict(args.args_schema)
+    # Hand-written groups above were registered as dataclasses directly; the
+    # registry derived their schema from __init__, which for a dataclass is
+    # exactly its fields, so groups is already correct for them.
+    groups["datasets_args"] = registries.datasets.make_schema("DatasetsArgs")
+    groups["dataloaders_args"] = registries.dataloaders.make_schema("DataloadersArgs")
+    groups["gens_args"] = registries.generators.make_schema("GensArgs")
+    groups["discs_args"] = registries.discriminators.make_schema("DiscsArgs")
+    groups["optim_gen_args"] = registries.optimizers.make_schema("OptimGenArgs")
+    groups["optim_disc_args"] = registries.optimizers.make_schema("OptimDiscArgs")
+    groups["losses_arch_args"] = registries.losses_arch.make_schema("LossesArchArgs")
+    groups["augpipe_specs"] = registries.augmentations.make_schema("AugpipeSpecs")
+    groups["gen_regs_all"] = registries.generator_regs.make_schema("GenRegsAll")
+    groups["disc_regs_all"] = registries.discriminator_regs.make_schema("DiscRegsAll")
+    _ARGS_CLASS = make_dataclass_from_classes(groups, "Args")
+    return _ARGS_CLASS
+
+
+def default_config():
+    """Structured config with every default filled in."""
+    return conf.structured(build_args_class())
+
+
+def load_config(argv: Optional[List[str]] = None, yaml_path: Optional[str] = None):
+    """structured defaults -> YAML file -> CLI dotlist (reference:
+    arguments.py:146-158).  ``argv``/``yaml_path`` allow programmatic use."""
+    import sys
+    config = default_config()
+    if argv is None:
+        argv = sys.argv[1:]
+    conf_cli = conf.from_dotlist(argv)
+
+    if yaml_path is None:
+        config.exp.config = conf_cli.exp.config
+        config.exp.config_dir = conf_cli.exp.config_dir
+        yaml_path = os.path.join(str(config.exp.config_dir), str(config.exp.config))
+    conf_file = conf.load(yaml_path)
+    config = conf.merge(config, conf_file)
+    config = conf.merge(config, conf_cli)
+    return config

@@ -1,0 +1,506 @@
+"""ADA augmentation pipeline: 18-knob differentiable, on-device, jit-stable.
+
+TPU-native rebuild of reference train_parts/augmentations.py:24-433 (the
+StyleGAN2-ADA pipe).  It runs *inside* the jitted D step as a pure function
+``pipe(images, key, p)`` — images NHWC fp32 in [-1,1], ``p`` a traced device
+scalar so the ADA controller can update it without recompiling.
+
+Design changes for XLA (reference: SURVEY.md §7 hard parts):
+
+* the reference computes a data-dependent reflect-pad margin from transformed
+  corners (augmentations.py:276-291) — a dynamic shape.  Here the margin is a
+  *fixed* conservative bound (image_size//2 + filter taps), so every shape is
+  static; out-of-range samples reflect, as in the reference.
+* `affine_grid`+`grid_sample` become an explicit bilinear gather, which JAX
+  differentiates to any order (needed: ADA sits inside the R1 double
+  backward).
+* per-op gating is a `where` mask per image; matrix ops compose
+  conditionally, so the whole pipe is one trace regardless of p.
+
+`debug_percentile` replaces every random draw with a fixed percentile of its
+distribution (reference: augmentations.py:185-431) — used by golden tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from style_big_gan_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
+from style_big_gan_tpu.registries import augmentations
+
+# ---------------------------------------------------------------------------
+# Wavelet table (reference: augmentations.py:24-41).
+WAVELETS = {
+    "haar": [0.7071067811865476, 0.7071067811865476],
+    "db1": [0.7071067811865476, 0.7071067811865476],
+    "db2": [-0.12940952255092145, 0.22414386804185735, 0.836516303737469,
+            0.48296291314469025],
+    "db3": [0.035226291882100656, -0.08544127388224149, -0.13501102001039084,
+            0.4598775021193313, 0.8068915093133388, 0.3326705529509569],
+    "sym2": [-0.12940952255092145, 0.22414386804185735, 0.836516303737469,
+             0.48296291314469025],
+    "sym3": [0.035226291882100656, -0.08544127388224149, -0.13501102001039084,
+             0.4598775021193313, 0.8068915093133388, 0.3326705529509569],
+    "sym6": [0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+             -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+             0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+             0.04472490177066578, 0.0017677118642428036, -0.007800708325034148],
+}
+
+# ---------------------------------------------------------------------------
+# Homogeneous-matrix helpers (reference: augmentations.py:46-110).
+
+
+def _mat3(rows):
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def translate2d(tx, ty):
+    z, o = jnp.zeros_like(tx * 1.0), jnp.ones_like(tx * 1.0)
+    return _mat3([[o, z, tx * o], [z, o, ty * o], [z, z, o]])
+
+
+def translate2d_inv(tx, ty):
+    return translate2d(-tx, -ty)
+
+
+def scale2d(sx, sy):
+    sx, sy = jnp.asarray(sx, jnp.float32), jnp.asarray(sy, jnp.float32)
+    z, o = jnp.zeros_like(sx), jnp.ones_like(sx)
+    return _mat3([[sx, z, z], [z, sy, z], [z, z, o]])
+
+
+def scale2d_inv(sx, sy):
+    return scale2d(1.0 / sx, 1.0 / sy)
+
+
+def rotate2d(theta):
+    theta = jnp.asarray(theta, jnp.float32)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z, o = jnp.zeros_like(c), jnp.ones_like(c)
+    return _mat3([[c, -s, z], [s, c, z], [z, z, o]])
+
+
+def rotate2d_inv(theta):
+    return rotate2d(-theta)
+
+
+def translate3d(tx, ty, tz):
+    m = jnp.eye(4, dtype=jnp.float32)
+    return m.at[0, 3].set(tx).at[1, 3].set(ty).at[2, 3].set(tz)
+
+
+def scale3d(sx, sy, sz):
+    return jnp.diag(jnp.asarray([sx, sy, sz, 1.0], jnp.float32))
+
+
+def rotate3d(v, theta):
+    """Rotation about axis v (reference: augmentations.py:88-99)."""
+    vx, vy, vz = v[0], v[1], v[2]
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    cc = 1.0 - c
+    rows = [
+        [vx * vx * cc + c, vx * vy * cc - vz * s, vx * vz * cc + vy * s, 0.0 * s],
+        [vy * vx * cc + vz * s, vy * vy * cc + c, vy * vz * cc - vx * s, 0.0 * s],
+        [vz * vx * cc - vy * s, vz * vy * cc + vx * s, vz * vz * cc + c, 0.0 * s],
+        [0.0 * s, 0.0 * s, 0.0 * s, 1.0 + 0.0 * s],
+    ]
+    return jnp.stack([jnp.stack([jnp.asarray(e, jnp.float32) for e in r])
+                      for r in rows])
+
+
+def _filter_bank() -> np.ndarray:
+    """4-band a-trous filter bank from sym2 (reference: augmentations.py:168-174)."""
+    hz_lo = np.asarray(WAVELETS["sym2"])
+    hz_hi = hz_lo * ((-1) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2
+    fbank = np.eye(4, 1)
+    for i in range(1, 4):
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(4, -1)[:, :-1]
+        fbank = scipy.signal.convolve(fbank, [hz_lo2], mode="full")
+        fbank[i, (fbank.shape[1] - hz_hi2.size) // 2:
+              (fbank.shape[1] + hz_hi2.size) // 2] += hz_hi2
+    return fbank
+
+
+def bilinear_sample(images: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """Gather-based bilinear sampling, NHWC.  gx/gy are pixel coordinates
+    into images; out-of-range clamps (callers pre-pad with reflection)."""
+    n, h, w, c = images.shape
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+
+    def gather(yy, xx):
+        return jax.vmap(lambda im, yi, xi: im[yi, xi])(images, yy, xx)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+@augmentations.add_to_registry("sg2_ada")
+class AugmentPipe:
+    """The full ADA pipe (reference: augmentations.py:120-433)."""
+
+    def __init__(self,
+                 xflip=0.0, rotate90=0.0, xint=0.0, xint_max=0.125,
+                 scale=0.0, rotate=0.0, aniso=0.0, xfrac=0.0,
+                 scale_std=0.2, rotate_max=1.0, aniso_std=0.2, xfrac_std=0.125,
+                 brightness=0.0, contrast=0.0, lumaflip=0.0, hue=0.0,
+                 saturation=0.0, brightness_std=0.2, contrast_std=0.5,
+                 hue_max=1.0, saturation_std=1.0,
+                 imgfilter=0.0, imgfilter_bands=(1.0, 1.0, 1.0, 1.0),
+                 imgfilter_std=1.0,
+                 noise=0.0, cutout=0.0, noise_std=0.1, cutout_size=0.5,
+                 debug_percentile: Optional[float] = None):
+        self.xflip = float(xflip)
+        self.rotate90 = float(rotate90)
+        self.xint = float(xint)
+        self.xint_max = float(xint_max)
+        self.scale = float(scale)
+        self.rotate = float(rotate)
+        self.aniso = float(aniso)
+        self.xfrac = float(xfrac)
+        self.scale_std = float(scale_std)
+        self.rotate_max = float(rotate_max)
+        self.aniso_std = float(aniso_std)
+        self.xfrac_std = float(xfrac_std)
+        self.brightness = float(brightness)
+        self.contrast = float(contrast)
+        self.lumaflip = float(lumaflip)
+        self.hue = float(hue)
+        self.saturation = float(saturation)
+        self.brightness_std = float(brightness_std)
+        self.contrast_std = float(contrast_std)
+        self.hue_max = float(hue_max)
+        self.saturation_std = float(saturation_std)
+        self.imgfilter = float(imgfilter)
+        self.imgfilter_bands = tuple(float(b) for b in imgfilter_bands)
+        self.imgfilter_std = float(imgfilter_std)
+        self.noise = float(noise)
+        self.cutout = float(cutout)
+        self.noise_std = float(noise_std)
+        self.cutout_size = float(cutout_size)
+        self.debug_percentile = debug_percentile
+
+        self.hz_geom = setup_filter(WAVELETS["sym6"])
+        self.hz_fbank = jnp.asarray(_filter_bank(), jnp.float32)
+
+    # ----------------------------------------------------- random primitives
+
+    def _uniform(self, key, shape, lo, hi, percentile_of=None):
+        if self.debug_percentile is not None:
+            return jnp.full(shape, lo + (hi - lo) * self.debug_percentile,
+                            jnp.float32)
+        return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+    def _randint(self, key, shape, n):
+        if self.debug_percentile is not None:
+            return jnp.full(shape, int(self.debug_percentile * n), jnp.int32)
+        return jax.random.randint(key, shape, 0, n)
+
+    def _lognormal(self, key, shape, std):
+        if self.debug_percentile is not None:
+            from scipy.stats import norm
+            return jnp.full(shape, float(2 ** (norm.ppf(self.debug_percentile)
+                                               * std)), jnp.float32)
+        return jnp.exp2(jax.random.normal(key, shape, jnp.float32) * std)
+
+    def _normal(self, key, shape, std):
+        if self.debug_percentile is not None:
+            from scipy.stats import norm
+            return jnp.full(shape, float(norm.ppf(self.debug_percentile) * std),
+                            jnp.float32)
+        return jax.random.normal(key, shape, jnp.float32) * std
+
+    def _gate(self, key, shape, prob):
+        """Bernoulli(p * op_strength) mask."""
+        if self.debug_percentile is not None:
+            return jnp.broadcast_to(self.debug_percentile < prob, shape)
+        return jax.random.uniform(key, shape, jnp.float32) < prob
+
+    # ------------------------------------------------------------------ main
+
+    def __call__(self, images: jax.Array, key: jax.Array, p) -> jax.Array:
+        n, h, w, c = images.shape
+        p = jnp.asarray(p, jnp.float32)
+        keys = list(jax.random.split(key, 36))
+        images = images.astype(jnp.float32)
+
+        # ---------------- pixel blitting + geometric as one inverse homography
+        G_inv = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (n, 1, 1))
+        any_geom = any(v > 0 for v in (self.xflip, self.rotate90, self.xint,
+                                       self.scale, self.rotate, self.aniso,
+                                       self.xfrac))
+        if any_geom:
+            if self.xflip > 0:
+                i = self._randint(keys.pop(), (n,), 2).astype(jnp.float32)
+                i = jnp.where(self._gate(keys.pop(), (n,), self.xflip * p),
+                              i, 0.0)
+                G_inv = G_inv @ jax.vmap(scale2d_inv)(1.0 - 2.0 * i,
+                                                      jnp.ones((n,)))
+            if self.rotate90 > 0:
+                i = self._randint(keys.pop(), (n,), 4).astype(jnp.float32)
+                i = jnp.where(self._gate(keys.pop(), (n,), self.rotate90 * p),
+                              i, 0.0)
+                G_inv = G_inv @ jax.vmap(rotate2d_inv)(-np.pi / 2 * i)
+            if self.xint > 0:
+                t = self._uniform(keys.pop(), (n, 2), -self.xint_max,
+                                  self.xint_max)
+                t = jnp.where(self._gate(keys.pop(), (n, 1), self.xint * p),
+                              t, 0.0)
+                G_inv = G_inv @ jax.vmap(translate2d_inv)(
+                    jnp.round(t[:, 0] * w), jnp.round(t[:, 1] * h))
+            if self.scale > 0:
+                s = self._lognormal(keys.pop(), (n,), self.scale_std)
+                s = jnp.where(self._gate(keys.pop(), (n,), self.scale * p),
+                              s, 1.0)
+                G_inv = G_inv @ jax.vmap(scale2d_inv)(s, s)
+            p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - self.rotate * p, 0.0, 1.0))
+            if self.rotate > 0:
+                theta = self._uniform(keys.pop(), (n,),
+                                      -np.pi * self.rotate_max,
+                                      np.pi * self.rotate_max)
+                theta = jnp.where(self._gate(keys.pop(), (n,), p_rot),
+                                  theta, 0.0)
+                G_inv = G_inv @ jax.vmap(rotate2d_inv)(-theta)
+            if self.aniso > 0:
+                s = self._lognormal(keys.pop(), (n,), self.aniso_std)
+                s = jnp.where(self._gate(keys.pop(), (n,), self.aniso * p),
+                              s, 1.0)
+                G_inv = G_inv @ jax.vmap(scale2d_inv)(s, 1.0 / s)
+            if self.rotate > 0:
+                theta = self._uniform(keys.pop(), (n,),
+                                      -np.pi * self.rotate_max,
+                                      np.pi * self.rotate_max)
+                theta = jnp.where(self._gate(keys.pop(), (n,), p_rot),
+                                  theta, 0.0)
+                G_inv = G_inv @ jax.vmap(rotate2d_inv)(-theta)
+            if self.xfrac > 0:
+                t = self._normal(keys.pop(), (n, 2), self.xfrac_std)
+                t = jnp.where(self._gate(keys.pop(), (n, 1), self.xfrac * p),
+                              t, 0.0)
+                G_inv = G_inv @ jax.vmap(translate2d_inv)(t[:, 0] * w,
+                                                          t[:, 1] * h)
+            images = self._execute_geom(images, G_inv)
+
+        # ------------------------------------------------- color transforms
+        any_color = any(v > 0 for v in (self.brightness, self.contrast,
+                                        self.lumaflip, self.hue,
+                                        self.saturation))
+        if any_color:
+            C = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n, 1, 1))
+            v = jnp.asarray([1, 1, 1, 0], jnp.float32) / np.sqrt(3)
+            if self.brightness > 0:
+                b = self._normal(keys.pop(), (n,), self.brightness_std)
+                b = jnp.where(self._gate(keys.pop(), (n,),
+                                         self.brightness * p), b, 0.0)
+                C = jax.vmap(lambda bb: translate3d(bb, bb, bb))(b) @ C
+            if self.contrast > 0:
+                cs = self._lognormal(keys.pop(), (n,), self.contrast_std)
+                cs = jnp.where(self._gate(keys.pop(), (n,),
+                                          self.contrast * p), cs, 1.0)
+                C = jax.vmap(lambda s: scale3d(s, s, s))(cs) @ C
+            if self.lumaflip > 0:
+                i = self._randint(keys.pop(), (n,), 2).astype(jnp.float32)
+                i = jnp.where(self._gate(keys.pop(), (n,),
+                                         self.lumaflip * p), i, 0.0)
+                house = jnp.eye(4) - 2.0 * jnp.outer(v, v)
+                C = jnp.where(i[:, None, None] > 0.5, house[None],
+                              jnp.eye(4)[None]) @ C
+            if self.hue > 0 and c > 1:
+                theta = self._uniform(keys.pop(), (n,), -np.pi * self.hue_max,
+                                      np.pi * self.hue_max)
+                theta = jnp.where(self._gate(keys.pop(), (n,), self.hue * p),
+                                  theta, 0.0)
+                C = jax.vmap(lambda t: rotate3d(v, t))(theta) @ C
+            if self.saturation > 0 and c > 1:
+                s = self._lognormal(keys.pop(), (n,), self.saturation_std)
+                s = jnp.where(self._gate(keys.pop(), (n,),
+                                         self.saturation * p), s, 1.0)
+                vv = jnp.outer(v, v)
+                C = (vv[None] + (jnp.eye(4) - vv)[None] *
+                     s[:, None, None]) @ C
+            images = self._execute_color(images, C)
+
+        # --------------------------------------------- image-space filtering
+        if self.imgfilter > 0:
+            images = self._execute_imgfilter(images, keys.pop(), keys.pop(), p)
+
+        # ------------------------------------------------- noise and cutout
+        if self.noise > 0:
+            sigma = jnp.abs(self._normal(keys.pop(), (n,), self.noise_std))
+            sigma = jnp.where(self._gate(keys.pop(), (n,), self.noise * p),
+                              sigma, 0.0)
+            nz = jax.random.normal(keys.pop(), images.shape, jnp.float32)
+            images = images + nz * sigma[:, None, None, None]
+        if self.cutout > 0:
+            size = self.cutout_size
+            center = self._uniform(keys.pop(), (n, 2), 0.0, 1.0)
+            use = self._gate(keys.pop(), (n, 1, 1, 1), self.cutout * p)
+            cx = center[:, 0][:, None, None, None]
+            cy = center[:, 1][:, None, None, None]
+            coord_x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            coord_y = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            mask_x = (jnp.abs(coord_x[None, None, :, None] - cx) >= size / 2)
+            mask_y = (jnp.abs(coord_y[None, :, None, None] - cy) >= size / 2)
+            mask = jnp.logical_or(mask_x, mask_y)
+            mask = jnp.where(use, mask, True)
+            images = images * mask.astype(images.dtype)
+
+        return images
+
+    # ------------------------------------------------------------ executors
+
+    def _execute_geom(self, images: jax.Array, G_inv: jax.Array) -> jax.Array:
+        """pad(reflect, fixed margin) -> 2x upsample -> bilinear warp ->
+        2x downsample (reference: augmentations.py:274-305).
+
+        Alignment uses the exact group delay (center of mass) of the sym6
+        low-pass — symlets are only *near*-symmetric, so the nominal
+        half-pixel bookkeeping of the reference's grid_sample would drift by
+        ~0.4px per up/down pair."""
+        n, h, w, c = images.shape
+        hz = self.hz_geom
+        taps = int(hz.shape[0])
+        margin = max(h, w) // 2 + taps  # fixed conservative bound
+
+        # Group delay of the convolution kernel (upfirdn flips f).
+        f_conv = np.asarray(hz)[::-1]
+        com = float((np.arange(taps) * f_conv).sum() / f_conv.sum())
+        d_u = com - taps // 2           # up-pass delay (vs its padding)
+        d_d = com - (taps - 1) // 2     # down-pass delay
+
+        pad_img = jnp.pad(images, ((0, 0), (margin, margin), (margin, margin),
+                                   (0, 0)), mode="reflect")
+
+        # Upsample 2x (upfirdn2d applies the up^2 energy gain internally).
+        up = upfirdn2d(pad_img, hz, up=2,
+                       padding=(taps // 2, (taps - 1) // 2,
+                                taps // 2, (taps - 1) // 2))
+
+        # Warp grid: warp index j represents output coordinate (j - d_d)/2
+        # (so the later down-pass interpolation lands exactly on output
+        # pixel centers).
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        ox = (jnp.arange(2 * w, dtype=jnp.float32) - d_d) / 2.0 - cx
+        oy = (jnp.arange(2 * h, dtype=jnp.float32) - d_d) / 2.0 - cy
+        gxx, gyy = jnp.meshgrid(ox, oy)          # [2h, 2w]
+        coords = jnp.stack([gxx, gyy, jnp.ones_like(gxx)], axis=-1)
+        src = jnp.einsum("nij,hwj->nhwi", G_inv, coords)    # [n,2h,2w,3]
+        sx = src[..., 0] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * \
+            jnp.sign(src[..., 2])
+        sy = src[..., 1] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * \
+            jnp.sign(src[..., 2])
+        # To upsampled-padded pixel indices (exact-delay inverse of the
+        # up pass).
+        px = 2.0 * (sx + cx + margin) - d_u
+        py = 2.0 * (sy + cy + margin) - d_u
+        warped = bilinear_sample(up, px, py)                # [n,2h,2w,c]
+
+        # Downsample 2x back to [h, w].
+        out = upfirdn2d(warped, hz, down=2,
+                        padding=((taps - 1) // 2, (taps - 2) // 2,
+                                 (taps - 1) // 2, (taps - 2) // 2))
+        return out
+
+    def _execute_color(self, images: jax.Array, C: jax.Array) -> jax.Array:
+        n, h, w, c = images.shape
+        if c == 3:
+            M = C[:, :3, :3]
+            t = C[:, :3, 3]
+            return jnp.einsum("nij,nhwj->nhwi", M, images) + t[:, None, None, :]
+        if c == 1:
+            # Grayscale: project color matrix onto luma
+            # (reference: augmentations.py:366-368).
+            M = jnp.mean(C[:, :3, :3], axis=(1, 2))[:, None, None, None]
+            t = jnp.mean(C[:, :3, 3], axis=1)[:, None, None, None]
+            return images * M + t
+        return images
+
+    def _execute_imgfilter(self, images, k_t, k_gate, p):
+        """Per-image amplified band filtering
+        (reference: augmentations.py:376-404)."""
+        n, h, w, c = images.shape
+        num_bands = self.hz_fbank.shape[0]
+        assert len(self.imgfilter_bands) == num_bands
+        # Expected power spectrum: white in each band.
+        expected = jnp.asarray([10, 1, 1, 1], jnp.float32) / 13.0
+
+        t = jnp.ones((n, num_bands), jnp.float32)
+        tk = jax.random.split(k_t, num_bands)
+        gk = jax.random.split(k_gate, num_bands)
+        for i, strength in enumerate(self.imgfilter_bands):
+            ti = self._lognormal(tk[i], (n,), self.imgfilter_std)
+            ti = jnp.where(self._gate(gk[i], (n,),
+                                      self.imgfilter * p * strength), ti, 1.0)
+            t = t.at[:, i].set(ti)
+        # Normalize power.
+        t = t / jnp.sqrt(jnp.sum(expected[None] * jnp.square(t), axis=1,
+                                 keepdims=True))
+        # Per-image combined filter: [n, taps]
+        hz_prime = jnp.einsum("nb,bt->nt", t, self.hz_fbank)
+        taps = hz_prime.shape[1]
+        pad = taps // 2
+
+        # Depthwise per-image separable conv: fold batch into channels.
+        x = jnp.transpose(images, (1, 2, 0, 3)).reshape(1, h, w, n * c)
+        fy = jnp.tile(hz_prime[:, None, :, None], (1, c, 1, 1)).reshape(
+            n * c, taps)
+        # vertical pass
+        ky = jnp.transpose(fy, (1, 0))[:, None, None, :]   # [taps,1,1,n*c]
+        x = jnp.pad(x, ((0, 0), (pad, pad - (1 - taps % 2)), (0, 0), (0, 0)),
+                    mode="reflect")
+        x = jax.lax.conv_general_dilated(
+            x, ky, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=n * c)
+        # horizontal pass
+        kx = jnp.transpose(fy, (1, 0))[None, :, None, :]
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad - (1 - taps % 2)), (0, 0)),
+                    mode="reflect")
+        x = jax.lax.conv_general_dilated(
+            x, kx, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=n * c)
+        return jnp.transpose(x.reshape(h, w, n, c), (2, 0, 1, 3))
+
+
+# Named augpipe presets (reference: stylegan2ada/train.py:271-283 — properly
+# registered here, fixing SURVEY.md §2.1 quirk (a)).
+AUGPIPE_SPECS = {
+    "blit": dict(xflip=1, rotate90=1, xint=1),
+    "geom": dict(scale=1, rotate=1, aniso=1, xfrac=1),
+    "color": dict(brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1),
+    "filter": dict(imgfilter=1),
+    "noise": dict(noise=1),
+    "cutout": dict(cutout=1),
+    "bg": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+               xfrac=1),
+    "bgc": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                saturation=1),
+    "bgcf": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                 xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                 saturation=1, imgfilter=1),
+    "bgcfn": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                  xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                  saturation=1, imgfilter=1, noise=1),
+    "bgcfnc": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                   xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                   saturation=1, imgfilter=1, noise=1, cutout=1),
+}

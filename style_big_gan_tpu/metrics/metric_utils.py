@@ -1,0 +1,260 @@
+"""Metric infrastructure: feature detectors, streaming stats, cached loops.
+
+Rebuild of reference stylegan2ada/metrics/metric_utils.py for the TPU stack:
+
+* detectors are jitted JAX models (or any callable `uint8 NHWC -> [N, D]`),
+  registered by name.  The reference downloads TorchScript detectors; this
+  image has no egress, so detectors resolve from *local* weight files
+  (configurable path) and tests use a deterministic random-conv detector.
+* FeatureStats: identical streaming (mean, cov) + capture-all semantics
+  (reference: metric_utils.py:56-132).
+* dataset/generator feature loops with an md5-keyed on-disk cache
+  (reference: metric_utils.py:181-276).  Multi-process gather is unnecessary
+  in SPMD (one host process feeds all local devices); multi-host sharding
+  hooks are provided via shard/num_shards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_big_gan_tpu.utils.misc import EasyDict
+
+
+class MetricOptions:
+    """reference: metric_utils.py:22-32."""
+
+    def __init__(self, G=None, G_kwargs=None, dataset=None,
+                 dataset_kwargs=None, num_items: Optional[int] = None,
+                 shard: int = 0, num_shards: int = 1, rng_seed: int = 0,
+                 cache_dir: Optional[str] = None, progress=None,
+                 detector: str = "fake_v1", detector_path: Optional[str] = None,
+                 batch_size: int = 64):
+        self.G = G                       # callable (z, c) -> uint8 NHWC images
+        self.G_kwargs = G_kwargs or {}
+        self.dataset = dataset
+        self.dataset_kwargs = dataset_kwargs or {}
+        self.num_items = num_items
+        self.shard = shard
+        self.num_shards = num_shards
+        self.rng_seed = rng_seed
+        self.cache_dir = cache_dir
+        self.progress = progress
+        self.detector = detector
+        self.detector_path = detector_path
+        self.batch_size = batch_size
+
+
+# --------------------------------------------------------------------------
+# Detectors.
+
+_DETECTORS: Dict[str, Callable] = {}
+
+
+def register_detector(name: str):
+    def deco(fn):
+        _DETECTORS[name] = fn
+        return fn
+    return deco
+
+
+def get_feature_detector(name: str, path: Optional[str] = None):
+    """Build detector by name (reference: metric_utils.py:41-52, local-only)."""
+    if name not in _DETECTORS:
+        raise KeyError(f"Unknown detector '{name}'. Known: {sorted(_DETECTORS)}")
+    return _DETECTORS[name](path)
+
+
+@register_detector("fake_v1")
+def _fake_detector(path=None):
+    """Deterministic random-conv detector for tests and smoke runs: fixed
+    random strided convs + global pooling -> 256-D features + 64-way 'logits'.
+    Not a perceptual metric — a stand-in with the right API/shapes."""
+    key = jax.random.PRNGKey(1234)
+    k1, k2, k3 = jax.random.split(key, 3)
+    w1 = jax.random.normal(k1, (5, 5, 3, 32)) * 0.1
+    w2 = jax.random.normal(k2, (3, 3, 32, 256)) * 0.1
+    w3 = jax.random.normal(k3, (256, 64)) * 0.1
+
+    @jax.jit
+    def apply(images_u8):
+        x = images_u8.astype(jnp.float32) / 127.5 - 1.0
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
+        dn = ("NHWC", "HWIO", "NHWC")
+        x = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w1, (4, 4), "SAME", dimension_numbers=dn))
+        x = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w2, (4, 4), "SAME", dimension_numbers=dn))
+        feat = jnp.mean(x, axis=(1, 2))
+        logits = feat @ w3
+        return feat, logits
+
+    class _Det:
+        name = "fake_v1"
+        feature_dim = 256
+        logits_dim = 64
+
+        def __call__(self, images_u8, return_logits=False):
+            feat, logits = apply(jnp.asarray(images_u8))
+            return np.asarray(logits if return_logits else feat)
+
+    return _Det()
+
+
+@register_detector("inception_v3")
+def _inception_detector(path=None):
+    from style_big_gan_tpu.metrics.inception import InceptionV3Detector
+    return InceptionV3Detector(path)
+
+
+# --------------------------------------------------------------------------
+
+
+class FeatureStats:
+    """Streaming mean/cov and optional full capture
+    (reference: metric_utils.py:56-132)."""
+
+    def __init__(self, capture_all: bool = False, capture_mean_cov: bool = False,
+                 max_items: Optional[int] = None):
+        self.capture_all = capture_all
+        self.capture_mean_cov = capture_mean_cov
+        self.max_items = max_items
+        self.num_items = 0
+        self.num_features = None
+        self.all_features = None
+        self.raw_mean = None
+        self.raw_cov = None
+
+    def set_num_features(self, num_features: int):
+        if self.num_features is not None:
+            assert num_features == self.num_features
+        else:
+            self.num_features = num_features
+            self.all_features = []
+            self.raw_mean = np.zeros([num_features], np.float64)
+            self.raw_cov = np.zeros([num_features, num_features], np.float64)
+
+    def is_full(self) -> bool:
+        return self.max_items is not None and self.num_items >= self.max_items
+
+    def append(self, x: np.ndarray):
+        x = np.asarray(x, np.float32)
+        assert x.ndim == 2
+        if self.max_items is not None:
+            if self.num_items >= self.max_items:
+                return
+            if self.num_items + x.shape[0] > self.max_items:
+                x = x[:self.max_items - self.num_items]
+        self.set_num_features(x.shape[1])
+        self.num_items += x.shape[0]
+        if self.capture_all:
+            self.all_features.append(x)
+        if self.capture_mean_cov:
+            x64 = x.astype(np.float64)
+            self.raw_mean += x64.sum(axis=0)
+            self.raw_cov += x64.T @ x64
+
+    def get_all(self) -> np.ndarray:
+        assert self.capture_all
+        return np.concatenate(self.all_features, axis=0)
+
+    def get_mean_cov(self):
+        assert self.capture_mean_cov
+        mean = self.raw_mean / self.num_items
+        cov = self.raw_cov / self.num_items - np.outer(mean, mean)
+        return mean, cov
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self.__dict__, f)
+
+    @staticmethod
+    def load(path: str) -> "FeatureStats":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        obj = FeatureStats()
+        obj.__dict__.update(state)
+        return obj
+
+
+class ProgressMonitor:
+    """reference: metric_utils.py:136-177 (console-only)."""
+
+    def __init__(self, tag=None, num_items=None, verbose=False):
+        self.tag = tag
+        self.num_items = num_items
+        self.verbose = verbose
+
+    def update(self, cur_items):
+        if self.verbose and self.tag is not None:
+            print(f"{self.tag:<20s} {cur_items}/{self.num_items}")
+
+    def sub(self, tag=None, num_items=None):
+        return ProgressMonitor(tag=tag, num_items=num_items,
+                               verbose=self.verbose)
+
+
+# --------------------------------------------------------------------------
+
+
+def _cache_key(tag: str, opts: MetricOptions, detector) -> str:
+    ident = repr([tag, sorted(opts.dataset_kwargs.items()), detector.name,
+                  opts.num_items])
+    return hashlib.md5(ident.encode()).hexdigest()
+
+
+def compute_feature_stats_for_dataset(opts: MetricOptions, detector,
+                                      max_items: Optional[int] = None,
+                                      return_logits: bool = False,
+                                      **stats_kwargs) -> FeatureStats:
+    """reference: metric_utils.py:181-230 (md5 cache kept, collectives gone)."""
+    dataset = opts.dataset
+    num_items = len(dataset)
+    if max_items is not None:
+        num_items = min(num_items, max_items)
+
+    cache_file = None
+    if opts.cache_dir is not None:
+        key = _cache_key(f"dataset-{sorted(stats_kwargs.items())}"
+                         f"-{return_logits}", opts, detector)
+        cache_file = os.path.join(opts.cache_dir, f"feats-{key}.pkl")
+        if os.path.isfile(cache_file):
+            return FeatureStats.load(cache_file)
+
+    stats = FeatureStats(max_items=num_items, **stats_kwargs)
+    bs = opts.batch_size
+    for start in range(0, num_items, bs):
+        if stats.is_full():
+            break
+        idxs = range(start, min(start + bs, num_items))
+        images = np.stack([dataset[i][0] for i in idxs])
+        feats = detector(images, return_logits=return_logits)
+        stats.append(feats)
+    if cache_file is not None:
+        os.makedirs(opts.cache_dir, exist_ok=True)
+        stats.save(cache_file)
+    return stats
+
+
+def compute_feature_stats_for_generator(opts: MetricOptions, detector,
+                                        max_items: int = 50000,
+                                        return_logits: bool = False,
+                                        **stats_kwargs) -> FeatureStats:
+    """reference: metric_utils.py:234-276 — G_ema rollouts through detector."""
+    stats = FeatureStats(max_items=max_items, **stats_kwargs)
+    bs = opts.batch_size
+    rng = np.random.RandomState(opts.rng_seed)
+    while not stats.is_full():
+        images = opts.G(batch_size=bs, rng=rng, **opts.G_kwargs)
+        assert images.dtype == np.uint8
+        feats = detector(images, return_logits=return_logits)
+        stats.append(feats)
+    return stats

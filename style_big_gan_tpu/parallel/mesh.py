@@ -1,0 +1,79 @@
+"""Device mesh and sharding utilities.
+
+Replaces the reference's NCCL process groups + DDP (reference:
+trainers.py:479-496, 587-597; SURVEY.md §2.6) with the XLA SPMD stack: one
+`jax.sharding.Mesh` over (data, model) axes, batches sharded over 'data',
+params replicated or sharded over 'model' (tensor parallel) by simple rules.
+GSPMD inserts all collectives (grad psum over 'data', activation collectives
+for sharded weights over 'model') — there are no explicit comms calls in the
+training code.
+
+Multi-host: `jax.distributed.initialize()` replaces the file-based NCCL
+rendezvous; each host feeds its local shard of the global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1, model_parallel: int = 1,
+              data_axis: str = "data", model_axis: str = "model") -> Mesh:
+    devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, data_axis: str = "data"
+                   ) -> NamedSharding:
+    """Leading dim over data axis, rest replicated."""
+    return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, data_axis: str = "data") -> Any:
+    """Place a pytree of host arrays with batch-dim sharding."""
+    def put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x), data_axis))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def infer_param_sharding(tree: Any, mesh: Mesh, model_axis: str = "model",
+                         min_size: int = 2 ** 16) -> Any:
+    """Tensor-parallel rule: shard the *last* (output-channel) axis of large
+    kernels over the model axis when divisible; everything else replicated.
+    For a fully-data-parallel mesh (model axis size 1) this is a no-op.
+
+    The reference has no TP at all (SURVEY.md §2.6) — this is the TPU-native
+    extension point; the mapping/FC stacks and the widest conv kernels are
+    the profitable targets."""
+    mp = mesh.shape[model_axis]
+
+    def rule(x):
+        if (mp > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and x.size >= min_size and x.shape[-1] % mp == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def apply_shardings(tree: Any, shardings: Any) -> Any:
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -1,0 +1,214 @@
+"""Jitted training steps: the reference's phase machinery as pure functions.
+
+The imperative loop of reference trainers.py:699-776 (zero_grad /
+accumulate_gradients over microbatch rounds / DDP sync on last round /
+nan_to_num / opt.step / G_ema lerp) collapses into four jitted step functions
+over `GANTrainState`:
+
+    g_step, g_reg_step, d_step, d_reg_step   (+ 'both' fusions via flags)
+
+* gradient accumulation = `lax.scan` over microbatch rounds, averaging grads
+  (multi-device mean semantics; the reference *sums* rounds — an
+  inconsistency between its 1-GPU and 8-GPU runs we do not replicate);
+* DDP all-reduce = nothing: with the batch sharded over the mesh's data
+  axis, GSPMD inserts the psum when grads are computed;
+* nan scrubbing of grads (reference: trainers.py:745-747) is kept;
+* G_ema lerp (reference: trainers.py:752-761) is fused into the G step, beta
+  computed host-side (rampup) and passed as a scalar.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from style_big_gan_tpu.train.state import GANTrainState
+from style_big_gan_tpu.utils.misc import nan_to_num
+
+
+def _scrub(grads):
+    """reference: trainers.py:745-747."""
+    return jax.tree_util.tree_map(lambda g: nan_to_num(g, 0.0, 1e5, -1e5),
+                                  grads)
+
+
+class StepBuilder:
+    """Builds the jitted step functions for one training configuration.
+
+    `arch` is an initialized loss architecture (train/loss_arch.py).  Loss
+    closures all have signature ``loss_fn(params, *batch_args, key)`` where
+    batch_args have a leading batch dim that accumulation splits.
+    """
+
+    def __init__(self, arch, opt_g_tx, opt_d_tx, *, z_dim: int,
+                 num_accum_rounds: int = 1, g_reg_gain: float = 1.0,
+                 d_reg_gain: float = 1.0, fuse_g_reg: bool = False,
+                 fuse_d_reg: bool = False, donate: bool = False):
+        self.arch = arch
+        self.opt_g_tx = opt_g_tx
+        self.opt_d_tx = opt_d_tx
+        self.z_dim = int(z_dim)
+        self.rounds = max(1, int(num_accum_rounds))
+        self.g_reg_gain = float(g_reg_gain)
+        self.d_reg_gain = float(d_reg_gain)
+        self.fuse_g_reg = fuse_g_reg
+        self.fuse_d_reg = fuse_d_reg
+        if donate:
+            from style_big_gan_tpu.parallel.platform import donation_supported
+            donate = donation_supported()
+        donate_kw = dict(donate_argnums=(0,)) if donate else {}
+        self.g_step = jax.jit(self._g_step, **donate_kw)
+        self.d_step = jax.jit(self._d_step, **donate_kw)
+        self.g_reg_step = jax.jit(self._g_reg_step, **donate_kw)
+        self.d_reg_step = jax.jit(self._d_reg_step, **donate_kw)
+
+    # ------------------------------------------------------------------ util
+
+    def _accum_grads(self, loss_fn: Callable, params, batch_args: Tuple,
+                     key) -> Tuple[Any, Any, Any]:
+        """(grads, stats, aux) averaged over `self.rounds` microbatch rounds.
+        aux (state updates) from the last round wins, matching the reference
+        where stateful buffers reflect the final round."""
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        r = self.rounds
+        if r <= 1:
+            (_, (stats, aux)), grads = grad_fn(params, *batch_args, key)
+            return grads, stats, aux
+
+        def reshape(x):
+            return x.reshape(r, x.shape[0] // r, *x.shape[1:])
+
+        stacked = jax.tree_util.tree_map(reshape, tuple(batch_args))
+        keys = jax.random.split(key, r)
+
+        first = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], stacked)
+        (_, (stats0, aux0)), grads0 = grad_fn(params, *first, keys[0])
+
+        def body(carry, xs):
+            grads_acc, stats_acc, _ = carry
+            args, k = xs
+            (_, (stats, aux)), grads = grad_fn(params, *args, k)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            stats_acc = jax.tree_util.tree_map(jnp.add, stats_acc, stats)
+            return (grads_acc, stats_acc, aux), None
+
+        (grads, stats, aux), _ = jax.lax.scan(
+            body, (grads0, stats0, aux0), (rest, keys[1:]))
+        inv = 1.0 / r
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        stats = jax.tree_util.tree_map(lambda s: s * inv, stats)
+        return grads, stats, aux
+
+    def _sample_z(self, key, n):
+        return jax.random.normal(key, (n, self.z_dim), jnp.float32)
+
+    # ----------------------------------------------------------------- steps
+
+    def _g_step(self, state: GANTrainState, gen_c, ema_beta):
+        """Gmain (+fused Greg) + optimizer + EMA
+        (reference: losses_base.py:50-62, trainers.py:725-761)."""
+        rng, k_z, k_run, k_reg = jax.random.split(state.rng, 4)
+        gen_z = self._sample_z(k_z, gen_c.shape[0])
+
+        def loss_fn(params_g, gen_z, gen_c, key):
+            loss, (stats, aux) = self.arch.g_main(
+                params_g, state.g_state, state.params_d, state.d_state,
+                gen_z, gen_c, key, state.ada_p)
+            if self.fuse_g_reg and self.arch.gen_regs:
+                rloss, (rstats, raux) = self.arch.g_reg(
+                    params_g, state.g_state, state.params_d, state.d_state,
+                    gen_z, gen_c, k_reg, state.ada_p, state.reg_state, 1.0)
+                loss, stats, aux = loss + rloss, {**stats, **rstats}, \
+                    {**aux, **raux}
+            return loss, (stats, aux)
+
+        grads, stats, aux = self._accum_grads(loss_fn, state.params_g,
+                                              (gen_z, gen_c), k_run)
+        grads = _scrub(grads)
+        updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
+                                              state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+        g_state = aux.get("g_state", state.g_state)
+        reg_state = aux.get("reg_state", state.reg_state)
+
+        ema_beta = jnp.asarray(ema_beta, jnp.float32)
+        params_g_ema = jax.tree_util.tree_map(
+            lambda e, p: p + (e - p) * ema_beta.astype(p.dtype),
+            state.params_g_ema, params_g)
+        new_state = state.replace(
+            step=state.step + 1, params_g=params_g, g_state=g_state,
+            opt_g=opt_g, params_g_ema=params_g_ema, g_state_ema=g_state,
+            reg_state=reg_state, rng=rng)
+        return new_state, stats
+
+    def _g_reg_step(self, state: GANTrainState, gen_c):
+        """Lazy Greg (PPL), loss pre-multiplied by the reg interval
+        (reference: regularizations.py:19-37, trainers.py:601-633)."""
+        rng, k_z, k_run = jax.random.split(state.rng, 3)
+        gen_z = self._sample_z(k_z, gen_c.shape[0])
+
+        def loss_fn(params_g, gen_z, gen_c, key):
+            return self.arch.g_reg(params_g, state.g_state, state.params_d,
+                                   state.d_state, gen_z, gen_c, key,
+                                   state.ada_p, state.reg_state,
+                                   self.g_reg_gain)
+
+        grads, stats, aux = self._accum_grads(loss_fn, state.params_g,
+                                              (gen_z, gen_c), k_run)
+        grads = _scrub(grads)
+        updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
+                                              state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+        return state.replace(params_g=params_g, opt_g=opt_g,
+                             reg_state=aux.get("reg_state", state.reg_state),
+                             rng=rng), stats
+
+    def _d_step(self, state: GANTrainState, real_img, real_c, gen_c):
+        """Dmain (+fused Dreg) + optimizer (reference: losses_base.py:65-81)."""
+        rng, k_z, k_run, k_reg = jax.random.split(state.rng, 4)
+        gen_z = self._sample_z(k_z, real_img.shape[0])
+
+        def loss_fn(params_d, real_img, real_c, gen_z, gen_c, key):
+            loss, (stats, aux) = self.arch.d_main(
+                params_d, state.d_state, state.params_g, state.g_state,
+                real_img, real_c, gen_z, gen_c, key, state.ada_p)
+            if self.fuse_d_reg and self.arch.dis_regs:
+                rloss, (rstats, _) = self.arch.d_reg(
+                    params_d, state.d_state, state.params_g, state.g_state,
+                    real_img, real_c, gen_z, gen_c, k_reg, state.ada_p,
+                    state.reg_state, 1.0)
+                loss, stats = loss + rloss, {**stats, **rstats}
+            return loss, (stats, aux)
+
+        grads, stats, aux = self._accum_grads(
+            loss_fn, state.params_d, (real_img, real_c, gen_z, gen_c), k_run)
+        grads = _scrub(grads)
+        updates, opt_d = self.opt_d_tx.update(grads, state.opt_d,
+                                              state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+        return state.replace(params_d=params_d,
+                             d_state=aux.get("d_state", state.d_state),
+                             opt_d=opt_d, rng=rng), stats
+
+    def _d_reg_step(self, state: GANTrainState, real_img, real_c, gen_c):
+        """Lazy Dreg (R1 / WGAN-GP) (reference: regularizations.py:40-85)."""
+        rng, k_z, k_run = jax.random.split(state.rng, 3)
+        gen_z = self._sample_z(k_z, real_img.shape[0])
+
+        def loss_fn(params_d, real_img, real_c, gen_z, gen_c, key):
+            return self.arch.d_reg(
+                params_d, state.d_state, state.params_g, state.g_state,
+                real_img, real_c, gen_z, gen_c, key, state.ada_p,
+                state.reg_state, self.d_reg_gain)
+
+        grads, stats, _ = self._accum_grads(
+            loss_fn, state.params_d, (real_img, real_c, gen_z, gen_c), k_run)
+        grads = _scrub(grads)
+        updates, opt_d = self.opt_d_tx.update(grads, state.opt_d,
+                                              state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+        return state.replace(params_d=params_d, opt_d=opt_d, rng=rng), stats

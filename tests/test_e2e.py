@@ -1,0 +1,117 @@
+"""End-to-end trainer tests on the 8-device CPU mesh: full staged setup +
+a few training batches for DCGAN (CPU-runnable anchor, SURVEY.md §4) and a
+tiny StyleGAN2-ADA config, including snapshot/resume."""
+
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from style_big_gan_tpu import registries
+from style_big_gan_tpu.arguments import load_config
+
+registries._import_all()
+
+
+@pytest.fixture(scope="module")
+def tiny_zip(tmp_path_factory):
+    import PIL.Image
+    path = tmp_path_factory.mktemp("data") / "tiny32.zip"
+    rnd = np.random.RandomState(0)
+    with zipfile.ZipFile(path, "w") as z:
+        labels = []
+        for i in range(32):
+            img = (rnd.rand(32, 32, 3) * 255).astype("uint8")
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, format="png")
+            fname = f"img{i:05d}.png"
+            z.writestr(fname, buf.getvalue())
+            labels.append([fname, i % 4])
+        z.writestr("dataset.json", json.dumps({"labels": labels}))
+    return str(path)
+
+
+def _overrides(tiny_zip, tmp_path, extra=()):
+    return [
+        "exp.name=t", f"data.dataset_path={tiny_zip}",
+        "datasets_args.image_folder.max_size=32", "gen.kimg=1",
+        "gen.batch=8", "gen.batch_device=8", "log.kimg_per_tick=1",
+        "log.metrics=[]", f"log.output={tmp_path}",
+        "dataloaders_args.basic.num_workers=1",
+    ] + list(extra)
+
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_dcgan_end_to_end(tiny_zip, tmp_path):
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path),
+                      yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    assert os.path.isfile(os.path.join(run_dir, "log.txt"))
+    assert os.path.isfile(os.path.join(run_dir, "reals.png"))
+    assert os.path.isfile(os.path.join(run_dir, "training_options.json"))
+    snaps = [f for f in os.listdir(run_dir)
+             if f.startswith("network-snapshot-")]
+    assert snaps, "no snapshot written"
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert lines and "Loss/D/loss" in lines[-1]
+    trainer.logger.close()
+
+
+def test_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
+    extra = [
+        "gens_args.sg2_classic.z_dim=32", "gens_args.sg2_classic.w_dim=32",
+        "gens_args.sg2_classic.channel_base=256",
+        "gens_args.sg2_classic.channel_max=32",
+        "discs_args.sg2_classic.channel_base=256",
+        "discs_args.sg2_classic.channel_max=32",
+        "discs_args.sg2_classic.epilogue_kwargs.mbstd_group_size=2",
+        "gen.d_reg_interval=2",
+        "aug.ada_interval=1",
+        # The geometric-warp compile inside the R1 double-backward is very
+        # slow on the CPU test mesh; the warp itself is unit-tested in
+        # test_augment.py — use the color pipe here.
+        "aug.augpipe=color",
+    ]
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+                      yaml_path=os.path.join(CFG_DIR, "sg2ada.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    assert any(f.startswith("fakes") for f in os.listdir(run_dir))
+    # ADA pipeline + controller were active
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert "Progress/augment" in lines[-1]
+    assert "Loss/r1_penalty" in lines[-1] or "Loss/D/loss" in lines[-1]
+    trainer.logger.close()
+
+
+def test_resume_from_snapshot(tiny_zip, tmp_path):
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path),
+                      yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    trainer.logger.close()
+
+    cfg2 = load_config(argv=_overrides(tiny_zip, tmp_path, [
+        "trans.resume=from_data", f"trans.resume_dir={run_dir}"]),
+        yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer2 = registries.trainers[str(cfg2.exp.trainer)]()
+    args = trainer2.setup_arguments(cfg2)
+    assert args.start_options["cur_nimg"] > 0
+    assert args.resume_model.endswith(".msgpack")
+    trainer2.setup_logs()
+    trainer2.setup_mesh()
+    trainer2.init_params()
+    trainer2.setup_dataset()
+    trainer2.setup_networks()     # loads snapshot params without error
+    trainer2.logger.close()
