@@ -39,6 +39,8 @@ def build():
     import optax
     from style_big_gan_tpu import registries
     registries._import_all()
+    from style_big_gan_tpu.train.trainer import enable_compilation_cache
+    enable_compilation_cache()
     from style_big_gan_tpu.augment.ada import AUGPIPE_SPECS, AugmentPipe
     from style_big_gan_tpu.train.loss_arch import split_vars
     from style_big_gan_tpu.train.state import create_train_state
@@ -80,26 +82,32 @@ def main():
 
     def one_cycle(state):
         imgs = 0
+        stats = None
         for i in range(CYCLE):
-            state, _ = steps.d_step(state, real, c, c)
+            state, stats = steps.d_step(state, real, c, c)
             if i % 16 == 0:
                 state, _ = steps.d_reg_step(state, real, c, c)
             state, _ = steps.g_step(state, c, 0.998)
             if i % 4 == 0:
                 state, _ = steps.g_reg_step(state, c)
             imgs += BATCH
-        return state, imgs
+        return state, imgs, stats
+
+    def sync(state):
+        # Hard sync: fetch one scalar produced by the final step
+        # (block_until_ready can return early through the axon tunnel).
+        int(np.asarray(state.step))
 
     for _ in range(WARMUP_CYCLES):
-        state, _ = one_cycle(state)
-    jax.block_until_ready(state.params_g)
+        state, _, stats = one_cycle(state)
+    sync(state)
 
     t0 = time.time()
     total = 0
     for _ in range(TIMED_CYCLES):
-        state, imgs = one_cycle(state)
+        state, imgs, stats = one_cycle(state)
         total += imgs
-    jax.block_until_ready(state.params_g)
+    sync(state)
     dt = time.time() - t0
 
     n_chips = max(1, len(jax.devices()))

@@ -12,6 +12,7 @@ torch.multiprocessing.spawn equivalent; multi-host runs launch this script
 once per host (jax.distributed handles rendezvous).
 """
 
+import os
 import sys
 
 from style_big_gan_tpu import registries
@@ -19,6 +20,12 @@ from style_big_gan_tpu.arguments import load_config
 
 
 def main(argv=None):
+    # Multi-host rendezvous (replaces the reference's NCCL file rendezvous,
+    # trainers.py:479-496): launch this script once per host with
+    # SBG_DIST=1 and the standard JAX coordinator env vars set.
+    if os.environ.get("SBG_DIST") == "1":
+        import jax
+        jax.distributed.initialize()
     config = load_config(argv)
     registries._import_all()
     trainer_cls = registries.trainers[str(config.exp.trainer)]

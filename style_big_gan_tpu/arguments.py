@@ -59,6 +59,7 @@ class LogArgs:
     kimg_per_tick: int = 4
     wandb: bool = False
     tensorboard: bool = False
+    sample_grid: List[int] = field(default_factory=lambda: [0, 0])  # 0 = auto
 
 
 @args.add_to_registry("gen")
@@ -95,6 +96,7 @@ class PerfArgs:
     # (off by default: the axon-tunneled TPU backend rejects full-state
     #  donation at runtime; flip on for memory savings on standard backends)
     remat: bool = False          # jax.checkpoint the synthesis blocks
+    trace_dir: str = ""          # capture a jax.profiler trace (batches 10-20)
 
 
 @args.add_to_registry("ema")

@@ -217,6 +217,7 @@ class SynthesisNetwork(nn.Module):
     conv_clamp: Optional[float] = None
     architecture: str = "skip"
     attentions: Sequence[int] = ()
+    remat: bool = False         # jax.checkpoint each block (memory for FLOPs)
     layer_kwargs: Dict[str, Any] = None
 
     @property
@@ -255,8 +256,14 @@ class SynthesisNetwork(nn.Module):
                 attention=(res in tuple(self.attentions)),
                 layer_kwargs=self.layer_kwargs, name=f"b{res}")
             n_ws = block.num_conv + block.num_torgb
-            x, img = block(x, img, ws[:, w_idx:w_idx + n_ws],
-                           force_fp32=force_fp32, noise_mode=noise_mode)
+
+            def run_block(blk, x, img, w):
+                return blk(x, img, w, force_fp32=force_fp32,
+                           noise_mode=noise_mode)
+
+            if self.remat:
+                run_block = nn.remat(run_block)
+            x, img = run_block(block, x, img, ws[:, w_idx:w_idx + n_ws])
             w_idx += block.num_conv
         return img
 
@@ -277,6 +284,7 @@ class Generator(nn.Module):
     conv_clamp: Optional[float] = None
     architecture: str = "skip"
     attentions: Sequence[int] = ()
+    remat: bool = False
     mapping_kwargs: Dict[str, Any] = None
     layer_kwargs: Dict[str, Any] = None
 
@@ -286,7 +294,8 @@ class Generator(nn.Module):
             img_channels=self.img_channels, channel_base=self.channel_base,
             channel_max=self.channel_max, num_fp16_res=self.num_fp16_res,
             conv_clamp=self.conv_clamp, architecture=self.architecture,
-            attentions=tuple(self.attentions), layer_kwargs=self.layer_kwargs)
+            attentions=tuple(self.attentions), remat=self.remat,
+            layer_kwargs=self.layer_kwargs)
         self.mapping = MappingNetwork(
             z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
             num_ws=self.num_ws, **dict(self.mapping_kwargs or {}))

@@ -1,0 +1,209 @@
+"""Import reference (PyTorch) StyleGAN2 checkpoints into this framework.
+
+TPU-native counterpart of reference stylegan2ada/legacy.py:20-60: instead of
+re-executing pickled source (persistence.py), network pickles are opened with
+a tolerant unpickler that captures each persistent object's init kwargs and
+state dict, and the tensors are renamed/transposed into this framework's
+variable trees:
+
+  torch layout            ->  this framework (NHWC / HWIO / [in, out])
+  linear  [out, in]       ->  [in, out]           (transpose)
+  conv    [O, I, kh, kw]  ->  [kh, kw, I, O]      (transpose 2,3,1,0)
+  const   [C, H, W]       ->  [H, W, C]
+  noise_const [H, W]      ->  [H, W, 1]
+  w_avg                   ->  'moving' collection
+
+Equalized-LR runtime scaling conventions match the reference exactly, so raw
+tensors map 1:1 with no rescaling.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class _Stub:
+    """Generic attribute bag standing in for any unimportable class."""
+
+    def __init__(self, *args, **kwargs):
+        self.args = args
+        self.kwargs = kwargs
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+
+def _reconstruct_stub(meta):
+    return meta
+
+
+def load_reference_pickle(path: str) -> Dict[str, Any]:
+    """Open a reference network snapshot pickle; returns the raw dict with
+    persistent objects replaced by their metadata (class_name, init kwargs,
+    state with torch tensors)."""
+    import torch
+
+    class TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "_reconstruct_persistent_obj":
+                return _reconstruct_stub
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _Stub
+
+    # torch.load drives storage deserialization; give it our unpickler.
+    class _PickleModule:
+        Unpickler = TolerantUnpickler
+
+        @staticmethod
+        def load(f, **kw):
+            return TolerantUnpickler(f).load()
+
+    with open(path, "rb") as f:
+        return torch.load(f, map_location="cpu", pickle_module=_PickleModule,
+                          weights_only=False)
+
+
+def torch_state_to_numpy(module_or_state) -> Dict[str, np.ndarray]:
+    """state_dict (torch module / dict / persistence meta) -> {name: np}."""
+    if hasattr(module_or_state, "state_dict"):
+        state = module_or_state.state_dict()
+    elif isinstance(module_or_state, dict) and "state" in module_or_state:
+        state = module_or_state["state"]
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+    else:
+        state = module_or_state
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+        elif isinstance(v, np.ndarray):
+            out[k] = v
+    return out
+
+
+def _t_linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def _t_conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_sg2_generator(state: Dict[str, np.ndarray]
+                          ) -> Tuple[Dict, Dict, Dict]:
+    """NVlabs-style G state_dict -> (params, moving, noise) trees matching
+    models/stylegan2.Generator."""
+    params: Dict[str, Any] = {"mapping": {}, "synthesis": {}}
+    moving: Dict[str, Any] = {"mapping": {}}
+    noise: Dict[str, Any] = {"synthesis": {}}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    for name, w in state.items():
+        parts = name.split(".")
+        if parts[0] == "mapping":
+            if parts[1] == "w_avg":
+                put(moving, ["mapping", "w_avg"], w)
+            elif parts[1] == "embed":
+                put(params, ["mapping", "embed",
+                             "weight" if parts[2] == "weight" else "bias"],
+                    _t_linear(w) if parts[2] == "weight" else w)
+            elif parts[1].startswith("fc"):
+                put(params, ["mapping", parts[1], parts[2]],
+                    _t_linear(w) if parts[2] == "weight" else w)
+        elif parts[0] == "synthesis":
+            block = parts[1]                       # b4, b8, ...
+            if parts[2] == "const":
+                put(params, ["synthesis", block, "const"],
+                    np.transpose(w, (1, 2, 0)))
+            elif parts[2] in ("conv0", "conv1", "torgb"):
+                layer = parts[2]
+                rest = parts[3:]
+                base = ["synthesis", block, layer]
+                if rest[0] == "affine":
+                    put(params, base + ["affine", rest[1]],
+                        _t_linear(w) if rest[1] == "weight" else w)
+                elif rest[0] == "weight":
+                    put(params, base + ["weight"], _t_conv(w))
+                elif rest[0] == "bias":
+                    put(params, base + ["bias"], w)
+                elif rest[0] == "noise_strength":
+                    put(params, base + ["noise_strength"],
+                        np.asarray(w).reshape(()))
+                elif rest[0] == "noise_const":
+                    put(noise, ["synthesis", block, layer, "noise_const"],
+                        np.asarray(w)[..., None])
+            elif parts[2] == "skip":
+                put(params, ["synthesis", block, "skip", parts[3]],
+                    _t_conv(w) if parts[3] == "weight" else w)
+            elif parts[2] == "resample_filter":
+                pass                                # constant, rebuilt
+    return params, moving, noise
+
+
+def convert_sg2_discriminator(state: Dict[str, np.ndarray]) -> Dict:
+    """NVlabs-style D state_dict -> params tree matching
+    models/stylegan2.Discriminator."""
+    params: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    for name, w in state.items():
+        parts = name.split(".")
+        if parts[-1] == "resample_filter" or "mbstd" in name:
+            continue
+        block = parts[0]                           # b64..b8, b4, mapping
+        if block == "mapping":
+            if parts[1] == "w_avg":
+                continue
+            put(["mapping", parts[1], parts[2]],
+                _t_linear(w) if parts[2] == "weight" else w)
+            continue
+        layer = parts[1]                           # fromrgb/conv0/conv1/skip/
+        if layer in ("fromrgb", "conv0", "conv1", "skip", "conv"):
+            put([block, layer, parts[2]],
+                _t_conv(w) if parts[2] == "weight" else w)
+        elif layer == "fc" and parts[2] == "weight":
+            # The epilogue fc consumes the flattened 4x4 features: torch
+            # flattens CHW, this framework flattens HWC — permute the input
+            # ordering of the weight accordingly.
+            out_f, in_f = w.shape
+            c = in_f // 16
+            w_hwc = np.transpose(w.reshape(out_f, c, 4, 4),
+                                 (0, 2, 3, 1)).reshape(out_f, in_f)
+            put([block, "fc", "weight"], _t_linear(w_hwc))
+        elif layer in ("fc", "out"):
+            put([block, layer, parts[2]],
+                _t_linear(w) if parts[2] == "weight" else w)
+    return params
+
+
+def import_generator_pickle(path: str, key: str = "G_ema"):
+    """Load a reference pickle and return (init_kwargs, variables) for
+    models/stylegan2.Generator."""
+    data = load_reference_pickle(path)
+    meta = data[key]
+    if isinstance(meta, dict) and "init_kwargs" in meta.get("state", {}):
+        init_kwargs = dict(meta["state"]["init_kwargs"])
+    elif isinstance(meta, dict):
+        init_kwargs = dict(meta.get("init_kwargs", {}))
+    else:
+        init_kwargs = {}
+    state = torch_state_to_numpy(meta)
+    params, moving, noise = convert_sg2_generator(state)
+    variables = {"params": params, "moving": moving, "noise": noise}
+    return init_kwargs, variables

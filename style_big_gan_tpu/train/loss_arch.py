@@ -66,12 +66,15 @@ class LossArchBase:
         (Gmain) advances G state."""
         _, old_state = split_vars(g_vars)
         mutable = list(old_state.keys())
-        out = self.G.apply(g_vars, z, c, update_emas=update_emas,
-                           rngs={"noise": rng}, mutable=mutable)
         if mutable:
-            img, new_state = out
+            # flax returns (out, vars) whenever mutable is passed — even [].
+            img, new_state = self.G.apply(
+                g_vars, z, c, update_emas=update_emas, rngs={"noise": rng},
+                mutable=mutable)
         else:
-            img, new_state = out, {}
+            img = self.G.apply(g_vars, z, c, update_emas=update_emas,
+                               rngs={"noise": rng})
+            new_state = {}
         if update_emas:
             return img, {**old_state, **new_state}
         return img, old_state
@@ -83,11 +86,10 @@ class LossArchBase:
             img = self.augment_pipe(img, rng, aug_p)
         _, old_state = split_vars(d_vars)
         mutable = list(old_state.keys())
-        out = self.D.apply(d_vars, img, c, mutable=mutable)
         if mutable:
-            logits, new_state = out
+            logits, new_state = self.D.apply(d_vars, img, c, mutable=mutable)
         else:
-            logits, new_state = out, {}
+            logits, new_state = self.D.apply(d_vars, img, c), {}
         if update_stats:
             return logits, {**old_state, **new_state}
         return logits, old_state
@@ -112,14 +114,17 @@ class LossArchBase:
         }
         return loss_Gmain, (stats, {"g_state": new_g_state})
 
-    def d_main(self, params_d, d_state, params_g, g_state, real_img, real_c,
-               gen_z, gen_c, rng, aug_p):
-        """reference: losses_base.py:65-81 (do_Dmain).  Fake images come from
-        a stop-gradient G rollout."""
-        k_noise, k_aug_f, k_aug_r = jax.random.split(rng, 3)
-        gen_img, _ = self.run_G(merge_vars(jax.lax.stop_gradient(params_g),
-                                           g_state), gen_z, gen_c, k_noise,
-                                update_emas=False)
+    def d_main(self, params_d, d_state, gen_img, real_img, real_c,
+               gen_c, rng, aug_p):
+        """reference: losses_base.py:65-81 (do_Dmain).
+
+        `gen_img` comes from a *separately jitted* G rollout
+        (StepBuilder._rollout): the reference detaches fakes for the D step
+        anyway (run_G with sync=False + no G grads), so generating them in
+        their own program is exact — and it keeps each TPU program under the
+        backend's program-size ceiling (the monolithic G+2xD+ADA+Adam graph
+        exceeded it at 256px)."""
+        k_aug_f, k_aug_r = jax.random.split(rng, 2)
         gen_img = jax.lax.stop_gradient(gen_img)
         d_vars = merge_vars(params_d, d_state)
         gen_logits, _ = self.run_D(d_vars, gen_img, gen_c, k_aug_f, aug_p,
@@ -151,18 +156,23 @@ class LossArchBase:
             new_reg_state.update(rstate)
         return total, (stats, {"reg_state": new_reg_state})
 
-    def d_reg(self, params_d, d_state, params_g, g_state, real_img, real_c,
-              gen_z, gen_c, rng, aug_p, reg_state, gain):
-        """Discriminator regularizers (R1, WGAN-GP)."""
+    def d_reg(self, params_d, d_state, gen_img, real_img, real_c,
+              gen_c, rng, aug_p, reg_state, gain):
+        """Discriminator regularizers (R1, WGAN-GP).  gen_img comes from the
+        separate rollout program (None when no registered reg needs fakes)."""
         total = jnp.float32(0.0)
         stats: Dict[str, jax.Array] = {}
         for reg in self.dis_regs:
             loss, rstats = reg.calc_reg(
-                self, params_d, d_state, params_g, g_state, real_img, real_c,
-                gen_z, gen_c, rng, aug_p)
+                self, params_d, d_state, gen_img, real_img, real_c,
+                gen_c, rng, aug_p)
             total = total + loss * gain
             stats.update(rstats)
         return total, (stats, {})
+
+    @property
+    def d_reg_needs_fake(self) -> bool:
+        return any(getattr(reg, "needs_fake", False) for reg in self.dis_regs)
 
     # G decomposition hooks used by PPL / style mixing; overridden in SG2.
     def map_ws(self, g_vars, z, c, rng, skip_w_avg_update=False):

@@ -77,8 +77,10 @@ class R1Reg:
     def __init__(self, r1_gamma: float = 10.0):
         self.r1_gamma = r1_gamma
 
-    def calc_reg(self, arch, params_d, d_state, params_g, g_state, real_img,
-                 real_c, gen_z, gen_c, rng, aug_p):
+    needs_fake = False
+
+    def calc_reg(self, arch, params_d, d_state, gen_img, real_img,
+                 real_c, gen_c, rng, aug_p):
         if self.r1_gamma == 0:
             return jnp.float32(0.0), {}
         d_vars = merge_vars(params_d, d_state)
@@ -103,13 +105,12 @@ class GradPenReg:
     def __init__(self, alpha: float = 10.0):
         self.alpha = alpha
 
-    def calc_reg(self, arch, params_d, d_state, params_g, g_state, real_img,
-                 real_c, gen_z, gen_c, rng, aug_p):
-        k_gen, k_t, k_d = jax.random.split(rng, 3)
-        fake, _ = arch.run_G(merge_vars(jax.lax.stop_gradient(params_g),
-                                        g_state), gen_z, gen_c, k_gen,
-                             update_emas=False)
-        fake = jax.lax.stop_gradient(fake)
+    needs_fake = True
+
+    def calc_reg(self, arch, params_d, d_state, gen_img, real_img,
+                 real_c, gen_c, rng, aug_p):
+        k_t, k_d = jax.random.split(rng, 2)
+        fake = jax.lax.stop_gradient(gen_img)
         real = real_img.astype(jnp.float32)
         t = jax.random.uniform(k_t, (real.shape[0], 1, 1, 1), jnp.float32)
         interp = t * real + (1.0 - t) * fake.astype(jnp.float32)

@@ -61,9 +61,27 @@ class StepBuilder:
             donate = donation_supported()
         donate_kw = dict(donate_argnums=(0,)) if donate else {}
         self.g_step = jax.jit(self._g_step, **donate_kw)
-        self.d_step = jax.jit(self._d_step, **donate_kw)
         self.g_reg_step = jax.jit(self._g_reg_step, **donate_kw)
-        self.d_reg_step = jax.jit(self._d_reg_step, **donate_kw)
+        # The D phases run as TWO programs: a G rollout producing the fake
+        # images (no D, no optimizer) and the D update consuming them.  The
+        # reference detaches fakes in do_Dmain anyway (losses_base.py:67-68),
+        # so the split is exact — and it keeps each TPU program well under
+        # the backend program-size ceiling that the monolithic graph hit at
+        # 256px (~127 MB generated code).
+        self._rollout_jit = jax.jit(self._rollout)
+        self._d_update_jit = jax.jit(self._d_update, **donate_kw)
+        self._d_reg_update_jit = jax.jit(self._d_reg_update, **donate_kw)
+
+    def d_step(self, state, real_img, real_c, gen_c):
+        state, fake = self._rollout_jit(state, gen_c)
+        return self._d_update_jit(state, fake, real_img, real_c, gen_c)
+
+    def d_reg_step(self, state, real_img, real_c, gen_c):
+        if self.arch.d_reg_needs_fake:
+            state, fake = self._rollout_jit(state, gen_c)
+        else:
+            fake = None
+        return self._d_reg_update_jit(state, fake, real_img, real_c, gen_c)
 
     # ------------------------------------------------------------------ util
 
@@ -167,25 +185,35 @@ class StepBuilder:
                              reg_state=aux.get("reg_state", state.reg_state),
                              rng=rng), stats
 
-    def _d_step(self, state: GANTrainState, real_img, real_c, gen_c):
-        """Dmain (+fused Dreg) + optimizer (reference: losses_base.py:65-81)."""
-        rng, k_z, k_run, k_reg = jax.random.split(state.rng, 4)
-        gen_z = self._sample_z(k_z, real_img.shape[0])
+    def _rollout(self, state: GANTrainState, gen_c):
+        """Detached G rollout for the D phases (its own TPU program)."""
+        rng, k_z, k_run = jax.random.split(state.rng, 3)
+        gen_z = self._sample_z(k_z, gen_c.shape[0])
+        g_vars = {"params": jax.lax.stop_gradient(state.params_g),
+                  **state.g_state}
+        fake, _ = self.arch.run_G(g_vars, gen_z, gen_c, k_run,
+                                  update_emas=False)
+        return state.replace(rng=rng), jax.lax.stop_gradient(fake)
 
-        def loss_fn(params_d, real_img, real_c, gen_z, gen_c, key):
+    def _d_update(self, state: GANTrainState, fake_img, real_img, real_c,
+                  gen_c):
+        """Dmain (+fused Dreg) + optimizer (reference: losses_base.py:65-81)."""
+        rng, k_run, k_reg = jax.random.split(state.rng, 3)
+
+        def loss_fn(params_d, fake_img, real_img, real_c, gen_c, key):
             loss, (stats, aux) = self.arch.d_main(
-                params_d, state.d_state, state.params_g, state.g_state,
-                real_img, real_c, gen_z, gen_c, key, state.ada_p)
+                params_d, state.d_state, fake_img, real_img, real_c,
+                gen_c, key, state.ada_p)
             if self.fuse_d_reg and self.arch.dis_regs:
                 rloss, (rstats, _) = self.arch.d_reg(
-                    params_d, state.d_state, state.params_g, state.g_state,
-                    real_img, real_c, gen_z, gen_c, k_reg, state.ada_p,
-                    state.reg_state, 1.0)
+                    params_d, state.d_state, fake_img, real_img, real_c,
+                    gen_c, k_reg, state.ada_p, state.reg_state, 1.0)
                 loss, stats = loss + rloss, {**stats, **rstats}
             return loss, (stats, aux)
 
         grads, stats, aux = self._accum_grads(
-            loss_fn, state.params_d, (real_img, real_c, gen_z, gen_c), k_run)
+            loss_fn, state.params_d, (fake_img, real_img, real_c, gen_c),
+            k_run)
         grads = _scrub(grads)
         updates, opt_d = self.opt_d_tx.update(grads, state.opt_d,
                                               state.params_d)
@@ -194,19 +222,28 @@ class StepBuilder:
                              d_state=aux.get("d_state", state.d_state),
                              opt_d=opt_d, rng=rng), stats
 
-    def _d_reg_step(self, state: GANTrainState, real_img, real_c, gen_c):
+    def _d_reg_update(self, state: GANTrainState, fake_img, real_img, real_c,
+                      gen_c):
         """Lazy Dreg (R1 / WGAN-GP) (reference: regularizations.py:40-85)."""
-        rng, k_z, k_run = jax.random.split(state.rng, 3)
-        gen_z = self._sample_z(k_z, real_img.shape[0])
+        rng, k_run = jax.random.split(state.rng, 2)
 
-        def loss_fn(params_d, real_img, real_c, gen_z, gen_c, key):
-            return self.arch.d_reg(
-                params_d, state.d_state, state.params_g, state.g_state,
-                real_img, real_c, gen_z, gen_c, key, state.ada_p,
-                state.reg_state, self.d_reg_gain)
+        if fake_img is None:
+            def loss_fn(params_d, real_img, real_c, gen_c, key):
+                return self.arch.d_reg(
+                    params_d, state.d_state, None, real_img, real_c,
+                    gen_c, key, state.ada_p, state.reg_state,
+                    self.d_reg_gain)
+            batch_args = (real_img, real_c, gen_c)
+        else:
+            def loss_fn(params_d, fake_img, real_img, real_c, gen_c, key):
+                return self.arch.d_reg(
+                    params_d, state.d_state, fake_img, real_img, real_c,
+                    gen_c, key, state.ada_p, state.reg_state,
+                    self.d_reg_gain)
+            batch_args = (fake_img, real_img, real_c, gen_c)
 
         grads, stats, _ = self._accum_grads(
-            loss_fn, state.params_d, (real_img, real_c, gen_z, gen_c), k_run)
+            loss_fn, state.params_d, batch_args, k_run)
         grads = _scrub(grads)
         updates, opt_d = self.opt_d_tx.update(grads, state.opt_d,
                                               state.params_d)

@@ -333,7 +333,12 @@ class BaseTrainer:
         a = self.args
         common = dict(c_dim=a.label_dim, img_resolution=a.resolution,
                       img_channels=a.img_channels)
-        self.G = registries.generators[a.generator](**common, **a.gen_kwargs)
+        gen_kwargs = dict(a.gen_kwargs)
+        g_cls = registries.generators[a.generator]
+        if bool(self.config.perf.remat) and \
+                "remat" in getattr(g_cls, "__dataclass_fields__", {}):
+            gen_kwargs["remat"] = True
+        self.G = g_cls(**common, **gen_kwargs)
         disc_kwargs = dict(a.disc_kwargs)
         d_cls = registries.discriminators[a.discriminator]
         fields = getattr(d_cls, "__dataclass_fields__", {})
@@ -354,8 +359,11 @@ class BaseTrainer:
         d_vars = self.D.init({"params": k_d}, img, cvec)
         self.params_g, self.g_state = split_vars(g_vars)
         self.params_d, self.d_state = split_vars(d_vars)
-        print(f"G params: {tree_size(self.params_g):,}  "
-              f"D params: {tree_size(self.params_d):,}")
+        # Module summary doubles as the startup smoke test
+        # (reference: trainers.py:564-572, misc.print_module_summary).
+        from style_big_gan_tpu.utils.summary import print_module_summary
+        print_module_summary(self.params_g, f"G ({a.generator})")
+        print_module_summary(self.params_d, f"D ({a.discriminator})")
 
         self._resume_payload = None
         if a.resume_model:
@@ -530,7 +538,10 @@ class BaseTrainer:
         a = self.args
         if grid is None:
             if not hasattr(self, "_grid"):
-                self._grid = setup_snapshot_image_grid(self.dataset)
+                gw, gh = [int(v) for v in
+                          getattr(self.config.log, "sample_grid", [0, 0])]
+                self._grid = setup_snapshot_image_grid(
+                    self.dataset, gw=gw or None, gh=gh or None)
                 gs, images, labels = self._grid
                 save_image_grid(images, os.path.join(self.run_dir,
                                                      "reals.png"),
@@ -603,10 +614,24 @@ class BaseTrainer:
         idx = np.random.randint(len(self.dataset), size=n)
         return np.stack([self.dataset.get_label(int(i)) for i in idx])
 
+    def _flush_pending_stats(self):
+        """Fetch deferred device-side phase stats into the collector."""
+        if not self._pending_stats:
+            return
+        host = jax.device_get(self._pending_stats)
+        self._pending_stats = []
+        for stats in host:
+            self.collector.report_dict(stats)
+            if self.ada_controller is not None and \
+                    "Loss/signs/real" in stats:
+                self.ada_controller.observe(stats["Loss/signs/real"])
+
     def training_loop(self):
         """The hot loop (reference: trainers.py:699-876)."""
         a = self.args
         mesh = self.mesh
+        self._pending_stats = []
+        self._ada_p_host = float(a.augment_p)
         start_opts = a.start_options
         cur_nimg = int(start_opts.get("cur_nimg", 0))
         cur_tick = int(start_opts.get("cur_tick", 0))
@@ -641,7 +666,19 @@ class BaseTrainer:
             real_img_d, real_c_d, gen_c_d = batch
             self.collector.report("Timing/data_fetch", time.time() - t0)
 
-            # ----- phases (reference: trainers.py:725-748)
+            # ----- profiler capture window (reference: record_function
+            # ranges, trainers.py:714-744; here one jax.profiler trace)
+            trace_dir = getattr(self.config.perf, "trace_dir", "")
+            if trace_dir and batch_idx == 10:
+                jax.profiler.start_trace(str(trace_dir))
+            if trace_dir and batch_idx == 20:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {trace_dir}")
+
+            # ----- phases (reference: trainers.py:725-748).  Stats stay as
+            # device arrays here — fetching them per phase would sync the
+            # device queue every batch; they are flushed at tick boundaries
+            # (and before each ADA adjustment).
             ema_beta = self._ema_beta(cur_nimg)
             for phase in self.phases:
                 if batch_idx % phase.interval != 0:
@@ -659,24 +696,20 @@ class BaseTrainer:
                 elif phase.name == "Greg":
                     self.state, stats = self.steps.g_reg_step(
                         self.state, gen_c_d)
-                stats = jax.device_get(stats)
-                self.collector.report_dict(stats)
-                self.collector.report(f"Timing/{phase.name}",
+                self._pending_stats.append(stats)
+                self.collector.report(f"Timing/{phase.name}_dispatch",
                                       time.time() - t1)
-                if self.ada_controller is not None and \
-                        "Loss/signs/real" in stats:
-                    self.ada_controller.observe(stats["Loss/signs/real"])
 
             # ----- ADA p adjustment (reference: trainers.py:768-771)
             if self.ada_controller is not None and \
                     batch_idx % a.ada_interval == 0 and batch_idx > 0:
-                new_p = self.ada_controller.adjust(
-                    float(jax.device_get(self.state.ada_p)))
+                self._flush_pending_stats()
+                new_p = self.ada_controller.adjust(self._ada_p_host)
                 if new_p is not None:
+                    self._ada_p_host = new_p
                     self.state = self.state.replace(
                         ada_p=jnp.asarray(new_p, jnp.float32))
-            self.collector.report(
-                "Progress/augment", float(jax.device_get(self.state.ada_p)))
+            self.collector.report("Progress/augment", self._ada_p_host)
 
             cur_nimg += a.batch_size
             batch_idx += 1
@@ -687,7 +720,10 @@ class BaseTrainer:
                     a.kimg_per_tick * 1000:
                 continue
 
-            jax.block_until_ready(self.state.params_g)
+            # Hard sync + flush the deferred stats (one device round-trip
+            # per tick instead of one per phase).
+            self._flush_pending_stats()
+            int(jax.device_get(self.state.step))
             tick_end_time = time.time()
             tick_time = tick_end_time - tick_start_time
             kimg_done = (cur_nimg - tick_start_nimg) / 1000

@@ -41,6 +41,7 @@ def _overrides(tiny_zip, tmp_path, extra=()):
         "gen.batch=8", "gen.batch_device=8", "log.kimg_per_tick=1",
         "log.metrics=[]", f"log.output={tmp_path}",
         "dataloaders_args.basic.num_workers=1",
+        "log.sample_grid=[4,2]",     # tiny grid: CPU-mesh test speed
     ] + list(extra)
 
 

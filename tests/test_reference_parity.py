@@ -1,0 +1,172 @@
+"""Numerical parity vs the PyTorch reference implementation.
+
+Builds the reference StyleGAN2 generator/discriminator (torch CPU, ref op
+impls) from /root/reference, converts its weights with
+tools/import_reference.py, and compares forward outputs against this
+framework's NHWC/JAX models on identical inputs — the strongest available
+check that the TPU rebuild matches the reference's math (SURVEY.md §7:
+"validate output parity against pretrained nets").
+
+Skipped when the reference checkout or torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if not os.path.isdir(REF):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, REF)
+sys.path.insert(0, os.path.join(REF, "stylegan2ada"))
+
+# The reference imports omegaconf (absent here) only for registry schemas;
+# inject a minimal stand-in so its model modules import.
+if "omegaconf" not in sys.modules:
+    import types
+
+    shim = types.ModuleType("omegaconf")
+    shim.MISSING = "???"
+
+    class _OmegaConf:
+        @staticmethod
+        def structured(x):
+            return x
+
+        @staticmethod
+        def merge(*a):
+            return a[-1]
+
+    shim.OmegaConf = _OmegaConf
+    sys.modules["omegaconf"] = shim
+
+# The reference's schema builder passes mutable defaults to make_dataclass,
+# which Python >= 3.11 rejects; wrap them in default_factory transparently.
+import dataclasses as _dc
+
+_orig_make_dataclass = _dc.make_dataclass
+
+
+def _unhashable(v):
+    return getattr(type(v), "__hash__", None) is None
+
+
+def _tolerant_make_dataclass(name, fields, **kw):
+    fixed = []
+    for f in fields:
+        if isinstance(f, tuple) and len(f) == 3:
+            default = f[2]
+            if isinstance(default, _dc.Field):
+                if default.default is not _dc.MISSING and \
+                        _unhashable(default.default):
+                    fixed.append((f[0], f[1], _dc.field(
+                        default_factory=lambda v=default.default: v)))
+                    continue
+            elif _unhashable(default):
+                fixed.append((f[0], f[1],
+                              _dc.field(default_factory=lambda v=default: v)))
+                continue
+        fixed.append(f)
+    return _orig_make_dataclass(name, fixed, **kw)
+
+
+_dc.make_dataclass = _tolerant_make_dataclass
+
+import jax
+import jax.numpy as jnp
+
+from style_big_gan_tpu import registries
+from style_big_gan_tpu.tools.import_reference import (
+    convert_sg2_discriminator, convert_sg2_generator, torch_state_to_numpy)
+
+registries._import_all()
+
+CFG = dict(z_dim=32, w_dim=32, c_dim=0, img_resolution=32, img_channels=3)
+CH = dict(channel_base=1024, channel_max=64)
+
+
+def _build_reference_g():
+    from train_parts import generators as ref_gen
+    torch.manual_seed(0)
+    from style_big_gan_tpu.utils.misc import EasyDict
+    return ref_gen.Generator(
+        **CFG, mapping_kwargs=EasyDict(num_layers=2),
+        synthesis_kwargs=EasyDict(**CH, num_fp16_res=0,
+                                  block_kwargs=EasyDict(
+                                      layer_kwargs=EasyDict())))
+
+
+def _build_reference_d():
+    from train_parts import discriminators as ref_disc
+    torch.manual_seed(1)
+    cfg = {k: v for k, v in CFG.items() if k not in ("z_dim", "w_dim")}
+    return ref_disc.Discriminator(
+        **cfg, **CH, architecture="resnet", block_kwargs={},
+        epilogue_kwargs={"mbstd_group_size": 2, "mbstd_num_channels": 1})
+
+
+@pytest.fixture(scope="module")
+def ref_g():
+    try:
+        return _build_reference_g().eval()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference generator unavailable: {e}")
+
+
+@pytest.fixture(scope="module")
+def ref_d():
+    try:
+        return _build_reference_d().eval()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference discriminator unavailable: {e}")
+
+
+def test_generator_forward_parity(ref_g):
+    state = torch_state_to_numpy(ref_g)
+    params, moving, noise = convert_sg2_generator(state)
+
+    G = registries.generators["sg2_classic"](
+        **CFG, **CH, architecture="skip", mapping_kwargs={"num_layers": 2})
+    z_np = np.random.RandomState(0).randn(2, 32).astype(np.float32)
+
+    with torch.no_grad():
+        ref_img = ref_g(torch.from_numpy(z_np), None,
+                        noise_mode="const").numpy()          # NCHW
+    variables = {"params": params, "moving": moving, "noise": noise}
+    img = G.apply(variables, jnp.asarray(z_np), None, noise_mode="const",
+                  rngs={"noise": jax.random.PRNGKey(0)})     # NHWC
+    img_nchw = np.transpose(np.asarray(img), (0, 3, 1, 2))
+    np.testing.assert_allclose(img_nchw, ref_img, rtol=2e-3, atol=2e-3)
+
+
+def test_mapping_parity(ref_g):
+    state = torch_state_to_numpy(ref_g)
+    params, moving, noise = convert_sg2_generator(state)
+    G = registries.generators["sg2_classic"](
+        **CFG, **CH, mapping_kwargs={"num_layers": 2})
+    z_np = np.random.RandomState(1).randn(4, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_ws = ref_g.mapping(torch.from_numpy(z_np), None).numpy()
+    ws = G.apply({"params": params, "moving": moving, "noise": noise},
+                 jnp.asarray(z_np), None, method=G.map_ws)
+    np.testing.assert_allclose(np.asarray(ws), ref_ws, rtol=1e-4, atol=1e-4)
+
+
+def test_discriminator_forward_parity(ref_d):
+    state = torch_state_to_numpy(ref_d)
+    params = convert_sg2_discriminator(state)
+    dcfg = {k: v for k, v in CFG.items() if k not in ("z_dim", "w_dim")}
+    D = registries.discriminators["sg2_classic"](
+        **dcfg, **CH, architecture="resnet",
+        epilogue_kwargs={"mbstd_group_size": 2, "mbstd_num_channels": 1})
+    x_np = np.random.RandomState(2).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref_d(torch.from_numpy(x_np), None).numpy()
+    logits = D.apply({"params": params},
+                     jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))), None)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3,
+                               atol=2e-3)

@@ -150,8 +150,8 @@ def test_r1_math_linear_d():
     reg = registries.discriminator_regs["r1"](r1_gamma=4.0)
     w = jnp.asarray(np.random.RandomState(0).randn(8, 8, 3), jnp.float32)
     real = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 3), jnp.float32)
-    loss, stats = reg.calc_reg(arch, {"w": w}, {}, None, {}, real,
-                               None, None, None, jax.random.PRNGKey(0), None)
+    loss, stats = reg.calc_reg(arch, {"w": w}, {}, None, real,
+                               None, None, jax.random.PRNGKey(0), None)
     expected = 2.0 * float(jnp.sum(w * w))   # gamma/2 * ||grad||^2, grad = w
     np.testing.assert_allclose(float(loss), expected, rtol=1e-4)
 
