@@ -25,6 +25,7 @@ import time
 import numpy as np
 
 A100_REF_IMGS_PER_SEC_PER_CHIP = 21.0   # see module docstring / BASELINE.md
+# Measured here (v5e-lite): 14.47 imgs/sec/chip (BASELINE.md "Measured").
 
 RES = 256
 BATCH = 8                                # per-chip batch (paper256: 64/8)

@@ -391,7 +391,13 @@ class AugmentPipe:
         n, h, w, c = images.shape
         hz = self.hz_geom
         taps = int(hz.shape[0])
-        margin = max(h, w) // 2 + taps  # fixed conservative bound
+        # Fixed margin (static shapes for XLA).  W/4 covers the typical draw
+        # of the default knobs (xint<=0.125W, xfrac sigma 0.125W, scale/aniso
+        # lognormal sigma 0.2); rarer extreme samples reflect at the border,
+        # the same failure mode as the reference's clamped data-dependent
+        # margin (augmentations.py:283-291).  Halving the margin cuts the
+        # padded/upsampled working set ~40% (the warp dominates ADA cost).
+        margin = min(max(h, w) // 4, 64) + taps
 
         # Group delay of the convolution kernel (upfirdn flips f).
         f_conv = np.asarray(hz)[::-1]

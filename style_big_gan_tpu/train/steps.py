@@ -46,11 +46,16 @@ class StepBuilder:
     def __init__(self, arch, opt_g_tx, opt_d_tx, *, z_dim: int,
                  num_accum_rounds: int = 1, g_reg_gain: float = 1.0,
                  d_reg_gain: float = 1.0, fuse_g_reg: bool = False,
-                 fuse_d_reg: bool = False, donate: bool = False):
+                 fuse_d_reg: bool = False, donate: bool = False,
+                 data_sharding=None):
         self.arch = arch
         self.opt_g_tx = opt_g_tx
         self.opt_d_tx = opt_d_tx
         self.z_dim = int(z_dim)
+        # Sharding constraint for internally sampled latents: without it the
+        # partitioner keeps z (sampled from a replicated key) replicated and
+        # replicates the whole G subgraph across the mesh.
+        self.data_sharding = data_sharding
         self.rounds = max(1, int(num_accum_rounds))
         self.g_reg_gain = float(g_reg_gain)
         self.d_reg_gain = float(d_reg_gain)
@@ -122,7 +127,10 @@ class StepBuilder:
         return grads, stats, aux
 
     def _sample_z(self, key, n):
-        return jax.random.normal(key, (n, self.z_dim), jnp.float32)
+        z = jax.random.normal(key, (n, self.z_dim), jnp.float32)
+        if self.data_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, self.data_sharding)
+        return z
 
     # ----------------------------------------------------------------- steps
 

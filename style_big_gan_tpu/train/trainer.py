@@ -150,7 +150,7 @@ class BaseTrainer:
         if a.num_accum_rounds * a.batch_device * a.num_devices < a.batch_size:
             a.num_accum_rounds = 1  # batch fits in one round per device
 
-        a.total_kimg = int(c.gen.kimg)
+        a.total_kimg = float(c.gen.kimg)   # fractional kimg OK (tiny test runs)
         a.kimg_per_tick = int(c.log.kimg_per_tick)
         a.snap = int(c.log.snap)
         a.seed = int(c.gen.seed)
@@ -290,14 +290,16 @@ class BaseTrainer:
         # The axon-tunneled backend pays a one-time ~100s handshake on the
         # first device->host transfer; trigger it now on a side thread so it
         # overlaps with the setup compiles instead of stalling the first tick.
+        import os as _os
         import threading
 
-        def _warm():
-            try:
-                float(jnp.asarray(jnp.zeros((), jnp.float32)) + 1.0)
-            except Exception:
-                pass
-        threading.Thread(target=_warm, daemon=True).start()
+        if _os.environ.get("SBG_NO_WARM") != "1":
+            def _warm():
+                try:
+                    float(jnp.asarray(jnp.zeros((), jnp.float32)) + 1.0)
+                except Exception:
+                    pass
+            threading.Thread(target=_warm, daemon=True).start()
 
     def init_params(self):
         """Seeds + persistent compile cache (reference: trainers.py:499-513)."""
@@ -431,7 +433,8 @@ class BaseTrainer:
             g_reg_gain=float(g_int if g_int > 0 else 1.0),
             d_reg_gain=float(d_int if d_int > 0 else 1.0),
             fuse_g_reg=(g_int == 0), fuse_d_reg=(d_int == 0),
-            donate=a.donate)
+            donate=a.donate,
+            data_sharding=mesh_lib.batch_sharding(self.mesh, 2))
 
         # Phase schedule (intervals in batches; G every n_dis batches).
         self.phases = []
@@ -636,7 +639,7 @@ class BaseTrainer:
         cur_nimg = int(start_opts.get("cur_nimg", 0))
         cur_tick = int(start_opts.get("cur_tick", 0))
         batch_idx = int(start_opts.get("batch_idx", 0))
-        total_nimg = a.total_kimg * 1000
+        total_nimg = int(a.total_kimg * 1000)
         tick_start_nimg = cur_nimg
         tick_start_time = time.time()
         start_time = tick_start_time

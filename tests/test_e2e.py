@@ -37,11 +37,17 @@ def tiny_zip(tmp_path_factory):
 def _overrides(tiny_zip, tmp_path, extra=()):
     return [
         "exp.name=t", f"data.dataset_path={tiny_zip}",
-        "datasets_args.image_folder.max_size=32", "gen.kimg=1",
+        "datasets_args.image_folder.max_size=32", "gen.kimg=0.04",
         "gen.batch=8", "gen.batch_device=8", "log.kimg_per_tick=1",
         "log.metrics=[]", f"log.output={tmp_path}",
         "dataloaders_args.basic.num_workers=1",
         "log.sample_grid=[4,2]",     # tiny grid: CPU-mesh test speed
+        # Single device: XLA:CPU's in-process all-reduce rendezvous aborts
+        # (rendezvous.cc termination timeout) under the full trainer workload
+        # regardless of participant count.  Multi-device SPMD semantics are
+        # covered by test_parallel.py (sharded-step equivalence, global BN)
+        # and __graft_entry__.dryrun_multichip.
+        "perf.devices=1",
     ] + list(extra)
 
 

@@ -82,12 +82,14 @@ def test_sharded_step_matches_single_device():
     def run(shard: bool):
         state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds,
                                    tx, tx)
-        steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False)
         if shard:
             mesh = mesh_lib.make_mesh(8)
+            steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False,
+                                data_sharding=mesh_lib.batch_sharding(mesh, 2))
             state = mesh_lib.replicate_tree(mesh, state)
             batch = mesh_lib.shard_batch(mesh, (real, c, c))
         else:
+            steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False)
             batch = (jnp.asarray(real), jnp.asarray(c), jnp.asarray(c))
         s2, stats = steps.d_step(state, *batch)
         return jax.device_get(s2.params_d), jax.device_get(stats)
