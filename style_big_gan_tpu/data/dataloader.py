@@ -1,0 +1,130 @@
+"""Host-side input pipeline: infinite sharded sampler + threaded prefetch.
+
+Rebuild of the reference loader stack: ``InfiniteSampler``'s windowed
+reshuffle with round-robin shard interleaving (reference:
+stylegan2ada/torch_utils/misc.py:109-140) and the thin DataLoader wrapper
+(reference: train_parts/dataloaders.py:8-12).  Torch worker *processes*
+become worker *threads* here — PIL/zlib decode releases the GIL, and the
+TPU step loop only needs the next host batch ready, not torch tensors.
+
+Per-host sharding for multi-host SPMD: each ``jax.process_index()`` passes
+its own ``shard``/``num_shards`` (SURVEY §2.6: InfiniteSampler ≙ per-host
+sharded pipeline).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from style_big_gan_tpu.registries import dataloaders
+
+
+def normalize_images(images: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1,1] (reference: trainers.py:716)."""
+    return np.asarray(images, np.float32) / 127.5 - 1.0
+
+
+def infinite_sampler(n: int, shard: int = 0, num_shards: int = 1,
+                     shuffle: bool = True, seed: int = 0,
+                     window_size: float = 0.5) -> Iterator[int]:
+    """Infinite windowed-reshuffle index stream, round-robin sharded
+    (same algorithm as reference torch_utils/misc.py:109-140)."""
+    assert n > 0 and num_shards > 0 and 0 <= shard < num_shards
+    order = np.arange(n)
+    rnd = None
+    window = 0
+    if shuffle:
+        rnd = np.random.RandomState(seed)
+        rnd.shuffle(order)
+        window = int(np.rint(order.size * window_size))
+    idx = 0
+    while True:
+        i = idx % order.size
+        if idx % num_shards == shard:
+            yield int(order[i])
+        if window >= 2:
+            j = (i - rnd.randint(window)) % order.size
+            order[i], order[j] = order[j], order[i]
+        idx += 1
+
+
+class _PrefetchIterator:
+    """Worker threads pull sampler indices, decode via ``dataset[idx]``, and
+    assemble batches into a bounded queue."""
+
+    def __init__(self, dataset, batch_size: int, sampler: Iterator[int],
+                 num_workers: int, prefetch: int):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.sampler = sampler
+        self.sampler_lock = threading.Lock()
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(1, int(prefetch)))
+        self.stop = threading.Event()
+        self.threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(1, int(num_workers)))]
+        for t in self.threads:
+            t.start()
+
+    def _worker(self) -> None:
+        while not self.stop.is_set():
+            with self.sampler_lock:
+                idxs = [next(self.sampler) for _ in range(self.batch_size)]
+            imgs, labels = zip(*[self.dataset[i] for i in idxs])
+            batch = (np.stack(imgs), np.stack(labels).astype(np.float32))
+            while not self.stop.is_set():
+                try:
+                    self.q.put(batch, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.q.get()
+
+    def close(self) -> None:
+        self.stop.set()
+        # Drain so workers blocked on put() can observe stop.
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        for t in self.threads:
+            t.join(timeout=2.0)
+
+
+@dataloaders.add_to_registry("basic")
+class BasicDataloader:
+    """Threaded prefetching loader (reference: train_parts/dataloaders.py:
+    8-12 — pin_memory/workers/prefetch knobs map to threads/prefetch)."""
+
+    def __init__(self, num_workers: int = 3, prefetch: int = 2,
+                 window_size: float = 0.5):
+        self.num_workers = int(num_workers)
+        self.prefetch = int(prefetch)
+        self.window_size = float(window_size)
+
+    def __call__(self, dataset, batch_size: int, shard: int = 0,
+                 num_shards: int = 1, seed: int = 0,
+                 shuffle: bool = True) -> Iterator[Tuple[np.ndarray,
+                                                         np.ndarray]]:
+        sampler = infinite_sampler(len(dataset), shard=shard,
+                                   num_shards=num_shards, shuffle=shuffle,
+                                   seed=seed, window_size=self.window_size)
+        return _PrefetchIterator(dataset, batch_size, sampler,
+                                 self.num_workers, self.prefetch)
+
+
+# Register the native (C++) loader if the shared library is present.
+try:
+    from style_big_gan_tpu.data import native_loader as _native_loader  # noqa: F401
+except Exception:  # pragma: no cover - native lib genuinely absent
+    pass

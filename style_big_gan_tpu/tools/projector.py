@@ -36,8 +36,13 @@ def project(G, g_vars, target_u8: np.ndarray, *, num_steps=1000,
 
     # W statistics (reference: projector.py:49-54).
     z_samples = jnp.asarray(rnd.randn(w_avg_samples, z_dim), jnp.float32)
-    c = jnp.zeros((w_avg_samples, 0), jnp.float32) \
-        if getattr(G, "c_dim", 0) == 0 else None
+    # Conditional models: average W over class-0 mappings (the reference
+    # projector assumes unconditional G, projector.py:49-54; a zero/one-hot
+    # label keeps it usable on conditional snapshots).
+    c_dim = int(getattr(G, "c_dim", 0))
+    c = jnp.zeros((w_avg_samples, c_dim), jnp.float32)
+    if c_dim > 0:
+        c = c.at[:, 0].set(1.0)
     ws = G.apply(g_vars, z_samples, c, method=G.map_ws)
     ws = np.asarray(ws[:, :1, :]).astype(np.float64)
     w_avg = np.mean(ws, axis=0, keepdims=True)

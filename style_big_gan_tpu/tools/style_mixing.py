@@ -20,7 +20,7 @@ import numpy as np
 def generate_style_mix(run_dir: str, row_seeds: List[int],
                        col_seeds: List[int], col_styles: List[int],
                        truncation_psi: float = 1.0, outdir: str = "out",
-                       snapshot=None):
+                       snapshot=None, class_idx: int = 0):
     import jax
     import jax.numpy as jnp
     import PIL.Image
@@ -35,8 +35,11 @@ def generate_style_mix(run_dir: str, row_seeds: List[int],
     all_seeds = list(dict.fromkeys(row_seeds + col_seeds))
     z = np.stack([np.random.RandomState(s).randn(G.z_dim)
                   for s in all_seeds]).astype(np.float32)
-    c = jnp.zeros((len(all_seeds), 0), jnp.float32) \
-        if getattr(G, "c_dim", 0) == 0 else None
+    c_dim = int(getattr(G, "c_dim", 0))
+    c = jnp.zeros((len(all_seeds), c_dim), jnp.float32)
+    if c_dim > 0:
+        # Conditional model: mix within one class (--class, default 0).
+        c = c.at[:, class_idx].set(1.0)
 
     ws = G.apply(g_vars, jnp.asarray(z), c, method=G.map_ws,
                  truncation_psi=truncation_psi)
@@ -93,10 +96,12 @@ def main(argv=None):
     p.add_argument("--cols", required=True)
     p.add_argument("--styles", default="0-6")
     p.add_argument("--trunc", type=float, default=1.0)
+    p.add_argument("--class", dest="class_idx", type=int, default=0)
     p.add_argument("--outdir", required=True)
     a = p.parse_args(argv)
     generate_style_mix(a.run_dir, parse_range(a.rows), parse_range(a.cols),
-                       parse_range(a.styles), a.trunc, a.outdir, a.snapshot)
+                       parse_range(a.styles), a.trunc, a.outdir, a.snapshot,
+                       class_idx=a.class_idx)
 
 
 if __name__ == "__main__":

@@ -270,6 +270,12 @@ class BaseTrainer:
         self.logger = log_utils.Logger(os.path.join(self.run_dir, "log.txt"))
         opts = dict(to_container(self.config))
         opts["start_options"] = a.start_options
+        # Dataset-probed model geometry, needed by tools/loader.py to rebuild
+        # the generator with the exact c_dim/resolution it was trained with
+        # (the config alone doesn't say — label_dim comes from the dataset).
+        opts["model_meta"] = dict(label_dim=int(a.label_dim),
+                                  resolution=int(a.resolution),
+                                  img_channels=int(a.img_channels))
         ckpt.save_json(os.path.join(self.run_dir, "training_options.json"),
                        opts)
         self.stats_jsonl = log_utils.StatsJsonl(
@@ -532,8 +538,11 @@ class BaseTrainer:
                 def fn(v, z, c, psi):
                     return self.G.apply(v, z, c, train=False,
                                         rngs={"noise": jax.random.PRNGKey(0)})
-            self._ema_apply_fn = jax.jit(fn)
-        return self._ema_apply_fn(g_vars, z, c, truncation_psi)
+            # psi is static: MappingNetwork short-circuits the truncation
+            # lerp in Python when psi == 1.0 (few distinct values -> few
+            # compiles, and the common psi=1.0 path stays lerp-free).
+            self._ema_apply_fn = jax.jit(fn, static_argnums=(3,))
+        return self._ema_apply_fn(g_vars, z, c, float(truncation_psi))
 
     def export_sample_images(self, cur_nimg: Optional[int] = None,
                              grid=None):
