@@ -147,6 +147,61 @@ def test_bilinear_sample_exact_on_grid():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
 
 
+def test_twopass_warp_matches_gather():
+    """The TPU-native 2-pass scanline warp must agree with the exact bilinear
+    gather on bandlimited content across the transform families ADA draws
+    (rotation incl. the 45-degree swap boundary, iso/aniso scale, translate,
+    and compositions).  Borders excluded: the impls clamp off-array samples
+    differently."""
+    from style_big_gan_tpu.augment.ada import rotate2d_inv, scale2d_inv, \
+        translate2d_inv
+
+    res = 64
+    i = np.arange(res)
+    xx, yy = np.meshgrid(i, i)
+    base = (np.sin(xx / res * 4 * np.pi) * np.cos(yy / res * 6 * np.pi)
+            + np.cos((xx + 2 * yy) / res * 2 * np.pi))
+    x = jnp.asarray(np.tile(base[None, :, :, None], (1, 1, 1, 3)), jnp.float32)
+
+    pg = AugmentPipe(warp_impl="gather")
+    pt = AugmentPipe(warp_impl="twopass")
+    cases = [
+        np.asarray(rotate2d_inv(-np.deg2rad(d)))
+        for d in (10, 45, 60, 170, -45, -135)
+    ] + [
+        np.asarray(scale2d_inv(s, s)) for s in (0.6, 1.7)
+    ] + [
+        np.asarray(scale2d_inv(0.7, 1 / 0.7)),
+        np.asarray(translate2d_inv(5.3, -2.7)),
+        np.asarray(rotate2d_inv(-np.pi / 6) @ scale2d_inv(1.4, 1.4)),
+    ]
+    for G in cases:
+        Gj = jnp.asarray(G, jnp.float32)[None]
+        yg = np.asarray(pg._execute_geom(x, Gj))
+        yt = np.asarray(pt._execute_geom(x, Gj))
+        d = np.abs(yg - yt)[:, 10:-10, 10:-10]
+        assert d.max() < 0.25 and d.mean() < 0.03, (G, d.max(), d.mean())
+
+
+def test_twopass_warp_exact_cases():
+    """Integer translations, axis-aligned scales, flips and quarter turns go
+    through the 2-pass warp losslessly (tent taps land on integers)."""
+    from style_big_gan_tpu.augment.ada import rotate2d_inv, scale2d_inv, \
+        translate2d_inv
+
+    x = rand_img(n=2, res=32, seed=3)
+    pg = AugmentPipe(warp_impl="gather")
+    pt = AugmentPipe(warp_impl="twopass")
+    for G in [np.asarray(translate2d_inv(3.0, -5.0)),
+              np.asarray(scale2d_inv(-1.0, 1.0)),       # xflip
+              np.asarray(rotate2d_inv(np.pi / 2)),      # quarter turn
+              np.asarray(rotate2d_inv(np.pi))]:
+        Gj = jnp.asarray(G, jnp.float32)[None].repeat(2, 0)
+        yg = np.asarray(pg._execute_geom(x, Gj))
+        yt = np.asarray(pt._execute_geom(x, Gj))
+        np.testing.assert_allclose(yt, yg, atol=1e-4)
+
+
 def test_augpipe_specs_complete():
     for name in ["blit", "geom", "color", "filter", "noise", "cutout", "bg",
                  "bgc", "bgcf", "bgcfn", "bgcfnc"]:
