@@ -161,7 +161,9 @@ def _fractional_shift(x: jax.Array, shift: jax.Array, axis: int,
     gather, and the whole thing transposes cleanly under AD."""
     bits = max(1, int(np.ceil(np.log2(max_shift + 2))))
     idx = jnp.floor(shift)
-    frac = shift - idx
+    # Position math stays f32 (bf16 has 8 mantissa bits: positions beyond
+    # 256 would quantize); only the in-[0,1) lerp weight drops to x.dtype.
+    frac = (shift - idx).astype(x.dtype)
     idx = idx.astype(jnp.int32)
     cur = x
     for b in range(bits):
@@ -221,7 +223,8 @@ def affine_warp_2pass(src: jax.Array, coef: jax.Array,
     # are off-array (edge-clamped) anyway, so size//2 bounds every shift
     # that can matter.
     smax = size // 2
-    a, b, c0, d, e, f0 = (coef[:, i] for i in range(6))
+    prec = _MM_PREC if src.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    a, b, c0, d, e, f0 = (coef[:, i].astype(jnp.float32) for i in range(6))
 
     # Factor out the quarter turn: sample the transposed image when the
     # transform maps output-x mostly to source-y.  Reflections need no
@@ -254,8 +257,8 @@ def affine_warp_2pass(src: jax.Array, coef: jax.Array,
                             max_shift=2 * smax)                 # [n,S+m,S,c]
     v = jnp.arange(out_h, dtype=jnp.float32)
     q1 = be[:, None] * v[None, :] + (ga + al * xc)[:, None]
-    t1 = _tent_matrix(q1, size + smax)                          # [n,out_h,S+m]
-    tmp = jnp.einsum("nvi,niwc->nvwc", t1, sh1, precision=_MM_PREC)
+    t1 = _tent_matrix(q1, size + smax).astype(src.dtype)        # [n,out_h,S+m]
+    tmp = jnp.einsum("nvi,niwc->nvwc", t1, sh1, precision=prec)
 
     # Pass 2 (horizontal): out[v, u] = tmp[v, ax*u + bx*v + cx0].
     yc = (out_h - 1) / 2.0
@@ -266,8 +269,59 @@ def affine_warp_2pass(src: jax.Array, coef: jax.Array,
                             max_shift=2 * smax)                 # [n,V,S+m,c]
     u = jnp.arange(out_w, dtype=jnp.float32)
     q2 = ax[:, None] * u[None, :] + (cx0 + bx * yc)[:, None]
-    t2 = _tent_matrix(q2, size + smax)                          # [n,out_w,S+m]
-    return jnp.einsum("nux,nvxc->nvuc", t2, sh2, precision=_MM_PREC)
+    t2 = _tent_matrix(q2, size + smax).astype(src.dtype)        # [n,out_w,S+m]
+    return jnp.einsum("nux,nvxc->nvuc", t2, sh2, precision=prec)
+
+
+_RESAMPLE_MATS: dict = {}
+
+
+def _upfirdn1d_matrix(l_in: int, f: np.ndarray, up: int, down: int,
+                      p0: int, p1: int, gain: float) -> np.ndarray:
+    """Dense [out, l_in] matrix of one 1-D upfirdn pass (zero-stuff by `up`,
+    pad (p0, p1), correlate with gain*f[::-1], stride `down`) — the exact
+    math of ops/upfirdn2d.py::_axis_upfirdn_shift as a matrix."""
+    taps = int(f.shape[0])
+    fy = f[::-1] * gain
+    stuffed = l_in * up
+    total = stuffed + p0 + p1
+    out_len = (total - taps) // down + 1
+    m = np.zeros((out_len, l_in), np.float32)
+    for k in range(taps):
+        for j in range(out_len):
+            idx = j * down + k - p0
+            if 0 <= idx < stuffed and idx % up == 0:
+                m[j, idx // up] += fy[k]
+    return m
+
+
+def _geom_resample_mats(size: int, margin: int,
+                        hz: np.ndarray) -> tuple:
+    """(B_up [2(size+2*margin), size], B_dn [size, 2*size]) static matrices
+    folding reflect-pad + 2x sym6 upsample, and 2x sym6 downsample, each
+    along ONE axis — so the ADA geometric resamples become four batched
+    matmuls on the MXU instead of pad+depthwise-conv passes."""
+    key = (size, margin, hz.tobytes())
+    hit = _RESAMPLE_MATS.get(key)
+    if hit is not None:
+        return hit
+    taps = int(hz.shape[0])
+    lp = size + 2 * margin
+    # reflect-pad operator [lp, size]
+    idx = np.pad(np.arange(size), margin, mode="reflect")
+    pmat = np.zeros((lp, size), np.float32)
+    pmat[np.arange(lp), idx] = 1.0
+    # per-axis gain sqrt(up_x*up_y) = 2 (ops/upfirdn2d.py:209,248)
+    b_up = _upfirdn1d_matrix(lp, hz, up=2, down=1,
+                             p0=taps // 2, p1=(taps - 1) // 2,
+                             gain=2.0) @ pmat
+    b_dn = _upfirdn1d_matrix(2 * size, hz, up=1, down=2,
+                             p0=(taps - 1) // 2, p1=(taps - 2) // 2,
+                             gain=1.0)
+    # Cache numpy (not device arrays): a device constant born inside one jit
+    # trace must not be reused in another (tracer leak).
+    _RESAMPLE_MATS[key] = (b_up, b_dn)
+    return _RESAMPLE_MATS[key]
 
 
 def bilinear_sample(images: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
@@ -322,7 +376,8 @@ class AugmentPipe:
                  imgfilter_std=1.0,
                  noise=0.0, cutout=0.0, noise_std=0.1, cutout_size=0.5,
                  debug_percentile: Optional[float] = None,
-                 warp_impl: str = "twopass"):
+                 warp_impl: str = "twopass",
+                 warp_dtype: str = "bfloat16"):
         self.xflip = float(xflip)
         self.rotate90 = float(rotate90)
         self.xint = float(xint)
@@ -355,6 +410,16 @@ class AugmentPipe:
         if warp_impl not in ("twopass", "gather"):
             raise ValueError(f"warp_impl must be twopass|gather: {warp_impl}")
         self.warp_impl = warp_impl
+        # bf16 halves the warp's HBM traffic and runs its matmuls at native
+        # MXU rate; position math stays f32 (see affine_warp_2pass).  The D
+        # this pipe feeds runs its conv blocks in bf16 at these resolutions
+        # anyway (num_fp16_res), so augmentation at bf16 costs no precision
+        # the model would have kept.  Only used by the twopass path.
+        if warp_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"warp_dtype must be bfloat16|float32: "
+                             f"{warp_dtype}")
+        self.warp_dtype = jnp.bfloat16 if warp_dtype == "bfloat16" \
+            else jnp.float32
 
         self.hz_geom = setup_filter(WAVELETS["sym6"])
         self.hz_fbank = jnp.asarray(_filter_bank(), jnp.float32)
@@ -550,22 +615,25 @@ class AugmentPipe:
         d_u = com - taps // 2           # up-pass delay (vs its padding)
         d_d = com - (taps - 1) // 2     # down-pass delay
 
-        pad_img = jnp.pad(images, ((0, 0), (margin, margin), (margin, margin),
-                                   (0, 0)), mode="reflect")
-
-        # Upsample 2x (upfirdn2d applies the up^2 energy gain internally).
-        # impl='shift': at C=3 the depthwise-conv lowering uses 3 of 128
-        # vector lanes (measured 175 ms for the whole pipe at 256px); the
-        # tap-shift elementwise form vectorizes over the flattened array.
-        up = upfirdn2d(pad_img, hz, up=2,
-                       padding=(taps // 2, (taps - 1) // 2,
-                                taps // 2, (taps - 1) // 2), impl="shift")
-
         # Warp grid: warp index j represents output coordinate (j - d_d)/2
         # (so the later down-pass interpolation lands exactly on output
         # pixel centers).
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
         if self.warp_impl == "twopass" and h == w:
+            # reflect-pad + up2x and the final down2x as four batched MXU
+            # matmuls against static band matrices (measured: the pad +
+            # depthwise up/down passes were ~14 ms of the 18 ms pipe at
+            # 256px; the matmul form is ~10x cheaper and its transpose
+            # under AD is again a matmul).
+            b_up, b_dn = _geom_resample_mats(h, margin, np.asarray(hz))
+            wdt = self.warp_dtype
+            prec = _MM_PREC if wdt == jnp.float32 \
+                else jax.lax.Precision.DEFAULT
+            b_up = jnp.asarray(b_up, wdt)
+            b_dn = jnp.asarray(b_dn, wdt)
+            up = jnp.einsum("ri,nixc->nrxc", b_up, images.astype(wdt),
+                            precision=prec)
+            up = jnp.einsum("xj,nrjc->nrxc", b_up, up, precision=prec)
             # Affine coefficients of the grid->source-pixel map, i.e. the
             # expansion of px = 2*(G_inv @ ((j - d_d)/2 - c) + c + m) - d_u.
             g00, g01, g02 = G_inv[:, 0, 0], G_inv[:, 0, 1], G_inv[:, 0, 2]
@@ -576,21 +644,33 @@ class AugmentPipe:
                   + 2 * g12 + 2 * cy + 2 * margin - d_u)
             coef = jnp.stack([g00, g01, c0, g10, g11, f0], axis=1)
             warped = affine_warp_2pass(up, coef, 2 * h, 2 * w)
-        else:
-            ox = (jnp.arange(2 * w, dtype=jnp.float32) - d_d) / 2.0 - cx
-            oy = (jnp.arange(2 * h, dtype=jnp.float32) - d_d) / 2.0 - cy
-            gxx, gyy = jnp.meshgrid(ox, oy)          # [2h, 2w]
-            coords = jnp.stack([gxx, gyy, jnp.ones_like(gxx)], axis=-1)
-            src = jnp.einsum("nij,hwj->nhwi", G_inv, coords)  # [n,2h,2w,3]
-            sx = src[..., 0] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * \
-                jnp.sign(src[..., 2])
-            sy = src[..., 1] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * \
-                jnp.sign(src[..., 2])
-            # To upsampled-padded pixel indices (exact-delay inverse of the
-            # up pass).
-            px = 2.0 * (sx + cx + margin) - d_u
-            py = 2.0 * (sy + cy + margin) - d_u
-            warped = bilinear_sample(up, px, py)            # [n,2h,2w,c]
+            out = jnp.einsum("ri,nixc->nrxc", b_dn, warped, precision=prec)
+            out = jnp.einsum("xj,nrjc->nrxc", b_dn, out, precision=prec)
+            return out.astype(images.dtype)
+
+        pad_img = jnp.pad(images, ((0, 0), (margin, margin), (margin, margin),
+                                   (0, 0)), mode="reflect")
+        # Upsample 2x (upfirdn2d applies the up^2 energy gain internally).
+        # impl='shift': at C=3 the depthwise-conv lowering uses 3 of 128
+        # vector lanes (measured 175 ms for the whole pipe at 256px); the
+        # tap-shift elementwise form vectorizes over the flattened array.
+        up = upfirdn2d(pad_img, hz, up=2,
+                       padding=(taps // 2, (taps - 1) // 2,
+                                taps // 2, (taps - 1) // 2), impl="shift")
+        ox = (jnp.arange(2 * w, dtype=jnp.float32) - d_d) / 2.0 - cx
+        oy = (jnp.arange(2 * h, dtype=jnp.float32) - d_d) / 2.0 - cy
+        gxx, gyy = jnp.meshgrid(ox, oy)          # [2h, 2w]
+        coords = jnp.stack([gxx, gyy, jnp.ones_like(gxx)], axis=-1)
+        src = jnp.einsum("nij,hwj->nhwi", G_inv, coords)  # [n,2h,2w,3]
+        sx = src[..., 0] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * \
+            jnp.sign(src[..., 2])
+        sy = src[..., 1] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * \
+            jnp.sign(src[..., 2])
+        # To upsampled-padded pixel indices (exact-delay inverse of the
+        # up pass).
+        px = 2.0 * (sx + cx + margin) - d_u
+        py = 2.0 * (sy + cy + margin) - d_u
+        warped = bilinear_sample(up, px, py)            # [n,2h,2w,c]
 
         # Downsample 2x back to [h, w].
         out = upfirdn2d(warped, hz, down=2,

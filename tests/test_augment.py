@@ -164,7 +164,7 @@ def test_twopass_warp_matches_gather():
     x = jnp.asarray(np.tile(base[None, :, :, None], (1, 1, 1, 3)), jnp.float32)
 
     pg = AugmentPipe(warp_impl="gather")
-    pt = AugmentPipe(warp_impl="twopass")
+    pt = AugmentPipe(warp_impl="twopass", warp_dtype="float32")
     cases = [
         np.asarray(rotate2d_inv(-np.deg2rad(d)))
         for d in (10, 45, 60, 170, -45, -135)
@@ -191,7 +191,7 @@ def test_twopass_warp_exact_cases():
 
     x = rand_img(n=2, res=32, seed=3)
     pg = AugmentPipe(warp_impl="gather")
-    pt = AugmentPipe(warp_impl="twopass")
+    pt = AugmentPipe(warp_impl="twopass", warp_dtype="float32")
     for G in [np.asarray(translate2d_inv(3.0, -5.0)),
               np.asarray(scale2d_inv(-1.0, 1.0)),       # xflip
               np.asarray(rotate2d_inv(np.pi / 2)),      # quarter turn
@@ -200,6 +200,21 @@ def test_twopass_warp_exact_cases():
         yg = np.asarray(pg._execute_geom(x, Gj))
         yt = np.asarray(pt._execute_geom(x, Gj))
         np.testing.assert_allclose(yt, yg, atol=1e-4)
+
+
+def test_twopass_warp_bf16_close_to_f32():
+    """The default bf16 warp stays within bf16 rounding of the f32 warp
+    (position math is f32 in both; only image values and lerp weights
+    quantize)."""
+    from style_big_gan_tpu.augment.ada import rotate2d_inv
+    x = smooth_img(n=2, res=32)
+    p32 = AugmentPipe(warp_impl="twopass", warp_dtype="float32")
+    p16 = AugmentPipe(warp_impl="twopass", warp_dtype="bfloat16")
+    G = jnp.asarray(np.asarray(rotate2d_inv(-0.5)), jnp.float32)[None]
+    G = G.repeat(2, 0)
+    y32 = np.asarray(p32._execute_geom(x, G))
+    y16 = np.asarray(p16._execute_geom(x, G))
+    assert np.abs(y32 - y16).max() < 0.05
 
 
 def test_augpipe_specs_complete():
