@@ -111,8 +111,31 @@ def _fake_detector(path=None):
 
 @register_detector("inception_v3")
 def _inception_detector(path=None):
+    """NVlabs TorchScript wrapper (exact reference numerics) when handed a
+    .pt; the native JAX port when handed converted .npz weights."""
+    if path and str(path).endswith(".npz"):
+        from style_big_gan_tpu.metrics.inception_jax import \
+            InceptionV3JaxDetector
+        return InceptionV3JaxDetector(path)
     from style_big_gan_tpu.metrics.inception import InceptionV3Detector
     return InceptionV3Detector(path)
+
+
+@register_detector("inception_v3_jax")
+def _inception_jax_detector(path=None):
+    """Native JAX/TPU FID inception (metrics/inception_jax.py); `path` is an
+    .npz from tools/convert_detector.py."""
+    from style_big_gan_tpu.metrics.inception_jax import InceptionV3JaxDetector
+    return InceptionV3JaxDetector(path)
+
+
+@register_detector("vgg16_lpips")
+def _vgg16_lpips_detector(path=None):
+    """Native JAX LPIPS-VGG embedding (metrics/vgg16_jax.py): squared L2
+    between embeddings == LPIPS distance, the contract _compute_ppl and the
+    projector consume.  `path` is an .npz from tools/convert_detector.py."""
+    from style_big_gan_tpu.metrics.vgg16_jax import VGG16LPIPSJaxDetector
+    return VGG16LPIPSJaxDetector(path)
 
 
 # --------------------------------------------------------------------------

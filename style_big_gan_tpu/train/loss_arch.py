@@ -238,3 +238,9 @@ class SG2LossArch(LossArchBase):
         img = self.G.apply(g_vars, ws, method=self.G.synthesize,
                            rngs={"noise": k_noise})
         return img, ws
+
+    def ws_only(self, g_vars, z, c, rng):
+        """(ws, noise_key) without synthesizing — PPL runs the synthesis
+        itself under jax.vjp so the forward is shared with the pullback."""
+        ws, _, k_noise = self._mixed_ws(g_vars, z, c, rng, update_emas=False)
+        return ws, k_noise

@@ -37,7 +37,7 @@ class PPLReg:
         return {"pl_mean": jnp.zeros((), jnp.float32)}
 
     def calc_reg(self, arch, params_g, g_state, gen_z, gen_c, rng, reg_state):
-        if self.pl_weight == 0 or not hasattr(arch, "run_G_ws"):
+        if self.pl_weight == 0 or not hasattr(arch, "ws_only"):
             return jnp.float32(0.0), {}, {}
         batch = max(1, int(gen_z.shape[0] // self.pl_batch_shrink))
         z = gen_z[:batch]
@@ -45,18 +45,22 @@ class PPLReg:
         k_run, k_noise = jax.random.split(rng)
         g_vars = merge_vars(params_g, g_state)
 
-        img, ws = arch.run_G_ws(g_vars, z, c, k_run)
+        # Reference computes grad of sum(img * noise) w.r.t. ws on the same
+        # graph that produced img (regularizations.py:19-26).  jax.vjp shares
+        # the synthesis forward with its pullback the same way — one
+        # synthesis, not two — and stays differentiable for the outer
+        # param grad.
+        ws, k_synth = arch.ws_only(g_vars, z, c, k_run)
+
+        def synth32(ws_in):
+            im = arch.G.apply(g_vars, ws_in, method=arch.G.synthesize,
+                              rngs={"noise": k_synth})
+            return im.astype(jnp.float32)
+
+        img, pullback = jax.vjp(synth32, ws)
         h, w = img.shape[1], img.shape[2]
         pl_noise = jax.random.normal(k_noise, img.shape, jnp.float32) / np.sqrt(h * w)
-
-        # JVP-free formulation identical to the reference: grad of
-        # sum(img * noise) w.r.t. ws, kept differentiable for the outer grad.
-        def proj(ws_in):
-            im = arch.G.apply(g_vars, ws_in, method=arch.G.synthesize,
-                              rngs={"noise": k_run})
-            return jnp.sum(im.astype(jnp.float32) * pl_noise)
-
-        pl_grads = jax.grad(proj)(ws)
+        (pl_grads,) = pullback(pl_noise)
         pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2),
                                        axis=1))
         pl_mean_old = reg_state["pl_mean"]

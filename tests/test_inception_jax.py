@@ -1,0 +1,105 @@
+"""Native JAX FID-inception: structure, detector contract, converter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from style_big_gan_tpu.metrics.inception_jax import (
+    InceptionV3FID, InceptionV3JaxDetector, convert_torch_inception,
+    load_params_npz, preprocess, random_params)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return random_params(seed=0)
+
+
+def test_feature_and_logits_shapes(params):
+    model = InceptionV3FID()
+    x = preprocess(jnp.zeros((2, 64, 64, 3), jnp.uint8))
+    assert x.shape == (2, 299, 299, 3)
+    feat, logits = model.apply(params, x, return_logits=True)
+    assert feat.shape == (2, 2048)
+    assert logits.shape == (2, 1008)
+    assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_detector_contract(params):
+    det = InceptionV3JaxDetector(params=params)
+    imgs = (np.random.RandomState(0).rand(3, 32, 32, 3) * 255).astype(
+        np.uint8)
+    feat = det(imgs)
+    assert feat.shape == (3, 2048) and feat.dtype == np.float32
+    logits = det(imgs, return_logits=True)
+    assert logits.shape == (3, 1008)
+    # grayscale input is tiled to RGB
+    assert det(imgs[..., :1]).shape == (3, 2048)
+
+
+def test_registered_in_metric_registry(params):
+    from style_big_gan_tpu.metrics.metric_utils import _DETECTORS
+    assert "inception_v3_jax" in _DETECTORS
+
+
+def test_block_output_channels(params):
+    """The Mixed-block channel ladder must match the FID inception
+    (reference detector architecture): 5b:256 5c:288 5d:288 6a:768 ...
+    7b:2048 7c:2048."""
+    expected = {"Mixed_5b": 256, "Mixed_5c": 288, "Mixed_5d": 288,
+                "Mixed_6a": 768, "Mixed_6b": 768, "Mixed_6e": 768,
+                "Mixed_7a": 1280, "Mixed_7b": 2048, "Mixed_7c": 2048}
+    model = InceptionV3FID()
+    x = preprocess(jnp.zeros((1, 299, 299, 3), jnp.uint8))
+    _, intermediates = model.apply(
+        params, x, capture_intermediates=True, mutable=["intermediates"])
+    inter = intermediates["intermediates"]
+    for name, ch in expected.items():
+        out = inter[name]["__call__"][0]
+        assert out.shape[-1] == ch, (name, out.shape)
+
+
+def test_param_count_matches_inception_v3(params):
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(params))
+    # torchvision InceptionV3 trunk + 1008-way fc with BN folded:
+    # 21.8M conv/fc weights (BN stats fold away).
+    assert 21_000_000 < n < 26_000_000, n
+
+
+def test_converter_folds_bn(tmp_path):
+    """BN folding: conv weight scaled by gamma/sqrt(var+eps), bias
+    beta - mean*scale, OIHW -> HWIO; npz round trip."""
+    torch = pytest.importorskip("torch")
+    rnd = np.random.RandomState(0)
+    w = rnd.randn(32, 3, 3, 3).astype(np.float32)
+    gamma = rnd.rand(32).astype(np.float32) + 0.5
+    beta = rnd.randn(32).astype(np.float32)
+    mean = rnd.randn(32).astype(np.float32)
+    var = rnd.rand(32).astype(np.float32) + 0.1
+    sd = {
+        "Conv2d_1a_3x3.conv.weight": torch.tensor(w),
+        "Conv2d_1a_3x3.bn.weight": torch.tensor(gamma),
+        "Conv2d_1a_3x3.bn.bias": torch.tensor(beta),
+        "Conv2d_1a_3x3.bn.running_mean": torch.tensor(mean),
+        "Conv2d_1a_3x3.bn.running_var": torch.tensor(var),
+        "fc.weight": torch.tensor(rnd.randn(1008, 2048).astype(np.float32)),
+        "fc.bias": torch.tensor(rnd.randn(1008).astype(np.float32)),
+    }
+    src = str(tmp_path / "sd.pt")
+    out = str(tmp_path / "conv.npz")
+    torch.save(sd, src)
+    params = convert_torch_inception(src, out_path=out)
+
+    scale = gamma / np.sqrt(var + 1e-3)
+    w_want = np.transpose(w * scale[:, None, None, None], (2, 3, 1, 0))
+    b_want = beta - mean * scale
+    got = params["params"]["Conv2d_1a_3x3"]["conv"]
+    np.testing.assert_allclose(np.asarray(got["kernel"]), w_want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["bias"]), b_want, rtol=1e-5)
+    assert params["params"]["fc"]["kernel"].shape == (2048, 1008)
+
+    loaded = load_params_npz(out)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["Conv2d_1a_3x3"]["conv"]["kernel"]),
+        w_want, rtol=1e-6)
