@@ -101,6 +101,46 @@ def test_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
     trainer.logger.close()
 
 
+def test_wgangp_end_to_end(tiny_zip, tmp_path):
+    """WGAN-GP recipe through the full trainer: n_dis critic steps and the
+    grad_pen double-backward inside the phase engine (reference:
+    configs/wgangp.yaml)."""
+    extra = [
+        "gen.n_dis=2",
+    ]
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+                      yaml_path=os.path.join(CFG_DIR, "wgangp.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert "Loss/D/loss" in last and np.isfinite(last["Loss/D/loss"])
+    trainer.logger.close()
+
+
+def test_biggan_end_to_end(tiny_zip, tmp_path):
+    """Class-conditional BigGAN recipe through the full trainer: hinge loss,
+    n_dis, spectral-norm state updates, conditional dataset labels, EMA
+    (reference: configs/big_gan.yaml)."""
+    extra = [
+        "gen.n_dis=2", "gen.batch=4", "gen.batch_device=4",
+        "gens_args.big_gan.G_ch=8", "gens_args.big_gan.z_dim=16",
+        "gens_args.big_gan.G_attn=0",
+        "discs_args.big_gan.D_ch=8", "discs_args.big_gan.D_attn=0",
+    ]
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+                      yaml_path=os.path.join(CFG_DIR, "big_gan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert "Loss/D/loss" in last and np.isfinite(last["Loss/D/loss"])
+    assert any(f.startswith("fakes") for f in os.listdir(run_dir))
+    trainer.logger.close()
+
+
 def test_resume_from_snapshot(tiny_zip, tmp_path):
     cfg = load_config(argv=_overrides(tiny_zip, tmp_path),
                       yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
