@@ -15,22 +15,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def _sync(out):
-    import jax
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.reshape(-1)[:1])
-
-
-def timeit(fn, *args, warmup=2, iters=10):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.time() - t0) / iters
+from _util import sync as _sync, timeit
 
 
 def main():

@@ -12,25 +12,10 @@ far from roofline.
 from __future__ import annotations
 
 import argparse
-import sys
-import time
-
-sys.path.insert(0, ".")
 
 import numpy as np
 
-
-def timeit(fn, *args, warmup=2, iters=20):
-    import jax
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-    return (time.time() - t0) / iters
+from _util import timeit
 
 
 def main():
@@ -64,6 +49,23 @@ def main():
         fl = 2 * n * res * res * 9 * c * c
         total += t
         print(f"3x3 {res:>4}px c={c:<4} bf16 NHWC: {t*1e3:7.3f} ms  "
+              f"{fl/t/1e12:6.1f} TFLOP/s")
+
+    # D's downsample convs: rectangular (cin != cout), stride 2 — different
+    # lowering than the square stride-1 shapes above.
+    for res, ci, co in [(256, 128, 256), (128, 256, 512), (64, 512, 512),
+                        (32, 512, 512)]:
+        x = jnp.asarray(rnd.randn(n, res, res, ci).astype(np.float32),
+                        jnp.bfloat16)
+        w = jnp.asarray(rnd.randn(3, 3, ci, co).astype(np.float32) * 0.05,
+                        jnp.bfloat16)
+
+        def down(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), "SAME", dimension_numbers=dn)
+        t = timeit(jax.jit(down), x, w)
+        fl = 2 * n * (res // 2) * (res // 2) * 9 * ci * co
+        print(f"3x3s2 {res:>3}px {ci}->{co:<4} bf16: {t*1e3:7.3f} ms  "
               f"{fl/t/1e12:6.1f} TFLOP/s")
 
     # The same at fp32 for the top block (ToRGB etc).

@@ -132,6 +132,12 @@ def _filter_bank() -> np.ndarray:
 _MM_PREC = jax.lax.Precision.HIGHEST
 
 
+def _prec_for(dtype) -> jax.lax.Precision:
+    """Matmul precision by datapath dtype: full 6-pass fp32 for f32, native
+    MXU for bf16.  Single source of truth for the warp's einsums."""
+    return _MM_PREC if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _shift_clamp(x: jax.Array, t: int, axis: int) -> jax.Array:
     """x[clamp(i + t)] along `axis` for static t >= 0 (edge-replicating
     shift): a concat of a slice and a broadcast edge — no gather."""
@@ -223,7 +229,7 @@ def affine_warp_2pass(src: jax.Array, coef: jax.Array,
     # are off-array (edge-clamped) anyway, so size//2 bounds every shift
     # that can matter.
     smax = size // 2
-    prec = _MM_PREC if src.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    prec = _prec_for(src.dtype)
     a, b, c0, d, e, f0 = (coef[:, i].astype(jnp.float32) for i in range(6))
 
     # Factor out the quarter turn: sample the transposed image when the
@@ -627,8 +633,7 @@ class AugmentPipe:
             # under AD is again a matmul).
             b_up, b_dn = _geom_resample_mats(h, margin, np.asarray(hz))
             wdt = self.warp_dtype
-            prec = _MM_PREC if wdt == jnp.float32 \
-                else jax.lax.Precision.DEFAULT
+            prec = _prec_for(wdt)
             b_up = jnp.asarray(b_up, wdt)
             b_dn = jnp.asarray(b_dn, wdt)
             up = jnp.einsum("ri,nixc->nrxc", b_up, images.astype(wdt),
