@@ -200,6 +200,42 @@ def _tent_matrix(pos: jax.Array, size: int) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - i))
 
 
+# Backend for the warp's scanline pass: 'jnp' = shift cascade + einsum (the
+# reference formulation below), 'pallas' = the fused single-HBM-pass kernel
+# (ops/warp_pallas.py), 'auto' = pallas on accelerators, jnp on CPU.
+_WARP_PASS_BACKEND = "auto"
+
+
+def set_warp_pass_backend(backend: str) -> None:
+    global _WARP_PASS_BACKEND
+    assert backend in ("auto", "jnp", "pallas")
+    _WARP_PASS_BACKEND = backend
+
+
+def _use_pallas_warp() -> bool:
+    if _WARP_PASS_BACKEND == "auto":
+        return jax.default_backend() != "cpu"
+    return _WARP_PASS_BACKEND == "pallas"
+
+
+def _scanline_pass(padded, tent, shift, smax: int) -> jax.Array:
+    """One warp pass over `padded` [n, A, B, c]: per-column fractional
+    clamp-shift along axis 1 by shift [n, B], then the tent resample
+    [n, V, A] @ rows -> [n, V, B, c]."""
+    n, a, bcols, c = padded.shape
+    bits = max(1, int(np.ceil(np.log2(2 * smax + 2))))
+    if _use_pallas_warp():
+        from style_big_gan_tpu.ops.warp_pallas import warp_pass
+        flat = padded.reshape(n, a, bcols * c)
+        shift_l = jnp.repeat(shift, c, axis=1)
+        out = warp_pass(flat, tent, shift_l, bits)
+        return out.reshape(n, tent.shape[1], bcols, c)
+    sh = _fractional_shift(padded, shift[:, None, :, None], axis=1,
+                           max_shift=2 * smax)
+    return jnp.einsum("nvi,niwc->nvwc", tent.astype(padded.dtype), sh,
+                      precision=_prec_for(padded.dtype))
+
+
 def affine_warp_2pass(src: jax.Array, coef: jax.Array,
                       out_h: int, out_w: int) -> jax.Array:
     """Per-image affine warp out[yo,xo] = src[py(xo,yo), px(xo,yo)] as a
@@ -229,7 +265,6 @@ def affine_warp_2pass(src: jax.Array, coef: jax.Array,
     # are off-array (edge-clamped) anyway, so size//2 bounds every shift
     # that can matter.
     smax = size // 2
-    prec = _prec_for(src.dtype)
     a, b, c0, d, e, f0 = (coef[:, i].astype(jnp.float32) for i in range(6))
 
     # Factor out the quarter turn: sample the transposed image when the
@@ -258,25 +293,25 @@ def affine_warp_2pass(src: jax.Array, coef: jax.Array,
     xc = (size - 1) / 2.0
     sigma = al[:, None] * (xs[None, :] - xc)                    # [n, size]
     sigma = jnp.clip(sigma, -float(smax), float(smax)) + float(smax)
-    sh1 = _fractional_shift(_edge_pad_front(src2, smax, axis=1),
-                            sigma[:, None, :, None], axis=1,
-                            max_shift=2 * smax)                 # [n,S+m,S,c]
     v = jnp.arange(out_h, dtype=jnp.float32)
     q1 = be[:, None] * v[None, :] + (ga + al * xc)[:, None]
-    t1 = _tent_matrix(q1, size + smax).astype(src.dtype)        # [n,out_h,S+m]
-    tmp = jnp.einsum("nvi,niwc->nvwc", t1, sh1, precision=prec)
+    t1 = _tent_matrix(q1, size + smax)                          # [n,out_h,S+m]
+    tmp = _scanline_pass(_edge_pad_front(src2, smax, axis=1), t1, sigma,
+                         smax)                                  # [n,V,S,c]
 
-    # Pass 2 (horizontal): out[v, u] = tmp[v, ax*u + bx*v + cx0].
+    # Pass 2 (horizontal): out[v, u] = tmp[v, ax*u + bx*v + cx0] — run in
+    # the transposed layout [n, x, v, c] so it is the same axis-1 scanline
+    # pass (shift along x, varying per lane v).
     yc = (out_h - 1) / 2.0
     tau = bx[:, None] * (v[None, :] - yc)                       # [n, out_h]
     tau = jnp.clip(tau, -float(smax), float(smax)) + float(smax)
-    sh2 = _fractional_shift(_edge_pad_front(tmp, smax, axis=2),
-                            tau[:, :, None, None], axis=2,
-                            max_shift=2 * smax)                 # [n,V,S+m,c]
     u = jnp.arange(out_w, dtype=jnp.float32)
     q2 = ax[:, None] * u[None, :] + (cx0 + bx * yc)[:, None]
-    t2 = _tent_matrix(q2, size + smax).astype(src.dtype)        # [n,out_w,S+m]
-    return jnp.einsum("nux,nvxc->nvuc", t2, sh2, precision=prec)
+    t2 = _tent_matrix(q2, size + smax)                          # [n,out_w,S+m]
+    tmp_t = jnp.transpose(tmp, (0, 2, 1, 3))                    # [n,S,V,c]
+    out = _scanline_pass(_edge_pad_front(tmp_t, smax, axis=1), t2, tau,
+                         smax)                                  # [n,U,V,c]
+    return jnp.transpose(out, (0, 2, 1, 3))
 
 
 _RESAMPLE_MATS: dict = {}

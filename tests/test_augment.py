@@ -202,6 +202,27 @@ def test_twopass_warp_exact_cases():
         np.testing.assert_allclose(yt, yg, atol=1e-4)
 
 
+def test_pallas_warp_backend_matches_jnp():
+    """The fused Pallas scanline kernel (interpret mode on CPU) must agree
+    with the jnp cascade+einsum path through the full geometric execute."""
+    from style_big_gan_tpu.augment import ada as ada_mod
+    from style_big_gan_tpu.augment.ada import rotate2d_inv, scale2d_inv
+
+    x = smooth_img(n=2, res=16)
+    pipe = AugmentPipe(warp_impl="twopass", warp_dtype="float32")
+    G = jnp.asarray(
+        np.asarray(rotate2d_inv(-0.4) @ scale2d_inv(1.2, 0.9)),
+        jnp.float32)[None].repeat(2, 0)
+    try:
+        ada_mod.set_warp_pass_backend("jnp")
+        y_jnp = np.asarray(pipe._execute_geom(x, G))
+        ada_mod.set_warp_pass_backend("pallas")
+        y_pal = np.asarray(pipe._execute_geom(x, G))
+    finally:
+        ada_mod.set_warp_pass_backend("auto")
+    np.testing.assert_allclose(y_pal, y_jnp, rtol=1e-4, atol=1e-4)
+
+
 def test_twopass_warp_bf16_close_to_f32():
     """The default bf16 warp stays within bf16 rounding of the f32 warp
     (position math is f32 in both; only image values and lerp weights
