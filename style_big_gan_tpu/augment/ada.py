@@ -214,7 +214,12 @@ def set_warp_pass_backend(backend: str) -> None:
 
 def _use_pallas_warp() -> bool:
     if _WARP_PASS_BACKEND == "auto":
-        return jax.default_backend() != "cpu"
+        # Single-accelerator only: pallas_call carries no GSPMD partitioning
+        # rule, so under a multi-chip mesh the partitioner would replicate
+        # it (correct but wasteful); the jnp scanline path shards cleanly.
+        # Force with set_warp_pass_backend('pallas') once a shard_map
+        # integration is in place.
+        return jax.default_backend() != "cpu" and jax.device_count() == 1
     return _WARP_PASS_BACKEND == "pallas"
 
 
