@@ -229,12 +229,19 @@ def _scanline_pass(padded, tent, shift, smax: int) -> jax.Array:
     [n, V, A] @ rows -> [n, V, B, c]."""
     n, a, bcols, c = padded.shape
     bits = max(1, int(np.ceil(np.log2(2 * smax + 2))))
-    if _use_pallas_warp():
+    # Kernel VMEM working set per grid cell: src block (a x 128) with ~3
+    # cascade temporaries, the whole tent (V x a), and the out block.  Fall
+    # back to the jnp path when it would not fit the ~16 MB VMEM (a 512px
+    # warp with an f32 tent already exceeds it).
+    v = tent.shape[1]
+    dt = padded.dtype.itemsize
+    vmem_est = dt * (4 * a * 128 + v * a + v * 128)
+    if _use_pallas_warp() and vmem_est < 12 * 1024 * 1024:
         from style_big_gan_tpu.ops.warp_pallas import warp_pass
         flat = padded.reshape(n, a, bcols * c)
         shift_l = jnp.repeat(shift, c, axis=1)
-        out = warp_pass(flat, tent, shift_l, bits)
-        return out.reshape(n, tent.shape[1], bcols, c)
+        out = warp_pass(flat, tent.astype(padded.dtype), shift_l, bits)
+        return out.reshape(n, v, bcols, c)
     sh = _fractional_shift(padded, shift[:, None, :, None], axis=1,
                            max_shift=2 * smax)
     return jnp.einsum("nvi,niwc->nvwc", tent.astype(padded.dtype), sh,
