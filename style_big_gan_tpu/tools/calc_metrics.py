@@ -60,7 +60,11 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
                                       for i in idx]), jnp.float32)
         else:
             c = jnp.zeros((batch_size, 0), jnp.float32)
-        return images_to_uint8(run(z, c))
+        # Device-resident uint8: the detector is jitted, and a host
+        # round-trip per batch dominates metric time on tunneled TPUs.
+        img = run(z, c)
+        return jnp.clip(jnp.rint((img.astype(jnp.float32) + 1) * 127.5),
+                        0, 255).astype(jnp.uint8)
 
     results = {}
     for metric in metric_names:

@@ -503,8 +503,8 @@ class BaseTrainer:
 
     def generate_images_ema(self, batch_size: int, rng: np.random.RandomState,
                             labels: Optional[np.ndarray] = None,
-                            truncation_psi: float = 1.0) -> np.ndarray:
-        """uint8 NHWC rollout from G_ema."""
+                            truncation_psi: float = 1.0):
+        """uint8 NHWC rollout from G_ema (device-resident jax array)."""
         a = self.args
         z = jnp.asarray(rng.randn(batch_size,
                                   int(getattr(self.G, "z_dim", 128))),
@@ -520,8 +520,13 @@ class BaseTrainer:
         # Keep params on device — no host round-trip per batch.
         g_vars = merge_vars(self.state.params_g_ema, self.state.g_state_ema)
         img = self._ema_apply(g_vars, z, c, truncation_psi)
-        img = np.asarray(img)
-        return np.rint((img + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        # uint8 conversion on device, and the result STAYS on device: the
+        # metric feature loop feeds it straight into a jitted detector, and
+        # a host round-trip through the axon tunnel is ~16x slower than the
+        # detector itself (benchmarks/bench_metrics.py).  Host-side callers
+        # np.asarray() the return.
+        return jnp.clip(jnp.rint((img.astype(jnp.float32) + 1) * 127.5),
+                        0, 255).astype(jnp.uint8)
 
     def _ema_apply(self, g_vars, z, c, truncation_psi):
         if not hasattr(self, "_ema_apply_fn"):
@@ -568,8 +573,8 @@ class BaseTrainer:
             lab = labels[i:i + bs]
             if a.label_dim == 0:
                 lab = np.zeros((lab.shape[0], 0), np.float32)
-            out.append(self.generate_images_ema(lab.shape[0], rng,
-                                                labels=lab))
+            out.append(np.asarray(self.generate_images_ema(lab.shape[0], rng,
+                                                           labels=lab)))
         fakes = np.concatenate(out, axis=0)
         tag = "init" if cur_nimg is None else f"{cur_nimg // 1000:06d}"
         save_image_grid(fakes.astype(np.float32) / 127.5 - 1.0,
