@@ -91,8 +91,13 @@ def main():
     print(f"detector [{name}], host input: {host_rate:,.0f} imgs/sec "
           f"(tunnel transfer bound)")
 
-    total = 50000 / gen_rate + 2 * 50000 / det_rate
-    print(f"fid50k_full estimate (gen + 2x detector passes): {total:.0f}s")
+    # Generator-side features use the device rate; dataset-side features
+    # feed host numpy images (tunnel-bound) but are md5-cached after the
+    # first run (metric_utils.py).
+    warm = 50000 / gen_rate + 50000 / det_rate
+    cold = warm + 50000 / host_rate
+    print(f"fid50k_full estimate: {warm:.0f}s with cached dataset features "
+          f"({cold:.0f}s cold)")
 
 
 if __name__ == "__main__":

@@ -207,9 +207,15 @@ _WARP_PASS_BACKEND = "auto"
 
 
 def set_warp_pass_backend(backend: str) -> None:
+    """Select the scanline-pass backend.  The choice is baked in at trace
+    time and is NOT part of the jit cache key, so already-compiled
+    functions would silently keep the old backend — clear the caches to
+    force retraces."""
     global _WARP_PASS_BACKEND
     assert backend in ("auto", "jnp", "pallas")
-    _WARP_PASS_BACKEND = backend
+    if backend != _WARP_PASS_BACKEND:
+        _WARP_PASS_BACKEND = backend
+        jax.clear_caches()
 
 
 def _use_pallas_warp() -> bool:

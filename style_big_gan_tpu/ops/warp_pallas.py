@@ -56,6 +56,14 @@ def _splat_rows(x, k):
     return jnp.concatenate([body[:a - 1], last], axis=0)
 
 
+def _prec(dtype):
+    """Match augment/ada.py::_prec_for: the f32 datapath keeps full-precision
+    MXU passes (the 'exact' warp_dtype='float32' contract), bf16 runs at
+    native rate."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _fwd_kernel(src_ref, tent_ref, shift_ref, out_ref, *, bits):
     x = src_ref[0]                                   # [A, LANE]
     sh = shift_ref[0]                                # [1, LANE] f32
@@ -68,7 +76,7 @@ def _fwd_kernel(src_ref, tent_ref, shift_ref, out_ref, *, bits):
     nxt = _shift_clamp_rows(cur, 1)
     cur = cur * (1.0 - frac) + nxt * frac
     t = tent_ref[0].astype(x.dtype)                  # [V, A]
-    out_ref[0] = jnp.dot(t, cur,
+    out_ref[0] = jnp.dot(t, cur, precision=_prec(x.dtype),
                          preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
 
@@ -79,7 +87,8 @@ def _bwd_kernel(g_ref, tent_ref, shift_ref, out_ref, *, bits):
     idx = jnp.floor(sh).astype(jnp.int32)
     frac = (sh - jnp.floor(sh)).astype(g.dtype)
     t = tent_ref[0].astype(g.dtype)                  # [V, A]
-    u = jnp.dot(t.T, g, preferred_element_type=jnp.float32
+    u = jnp.dot(t.T, g, precision=_prec(g.dtype),
+                preferred_element_type=jnp.float32
                 ).astype(g.dtype)                    # [A, LANE]
     # adjoint of the fractional lerp
     cur = u * (1.0 - frac) + _splat_rows(u * frac, 1)

@@ -29,7 +29,7 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
     import jax.numpy as jnp
     from style_big_gan_tpu import registries
     from style_big_gan_tpu.metrics import metric_main
-    from style_big_gan_tpu.tools.loader import (images_to_uint8,
+    from style_big_gan_tpu.tools.loader import (images_to_uint8_device,
                                                 load_generator)
     from style_big_gan_tpu.utils import checkpoint as ckpt
 
@@ -60,11 +60,7 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
                                       for i in idx]), jnp.float32)
         else:
             c = jnp.zeros((batch_size, 0), jnp.float32)
-        # Device-resident uint8: the detector is jitted, and a host
-        # round-trip per batch dominates metric time on tunneled TPUs.
-        img = run(z, c)
-        return jnp.clip(jnp.rint((img.astype(jnp.float32) + 1) * 127.5),
-                        0, 255).astype(jnp.uint8)
+        return images_to_uint8_device(run(z, c))
 
     results = {}
     for metric in metric_names:

@@ -62,3 +62,12 @@ def load_generator(run_dir: str, snapshot: Optional[str] = None,
 
 def images_to_uint8(img: np.ndarray) -> np.ndarray:
     return np.rint((np.asarray(img) + 1) * 127.5).clip(0, 255).astype(np.uint8)
+
+
+def images_to_uint8_device(img):
+    """Same [-1,1] -> uint8 conversion, on device: metric loops feed the
+    result straight to a jitted detector (a host round-trip per batch is
+    the dominant metric cost on tunneled TPUs)."""
+    import jax.numpy as jnp
+    return jnp.clip(jnp.rint((img.astype(jnp.float32) + 1) * 127.5),
+                    0, 255).astype(jnp.uint8)

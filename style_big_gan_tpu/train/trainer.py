@@ -520,13 +520,12 @@ class BaseTrainer:
         # Keep params on device — no host round-trip per batch.
         g_vars = merge_vars(self.state.params_g_ema, self.state.g_state_ema)
         img = self._ema_apply(g_vars, z, c, truncation_psi)
-        # uint8 conversion on device, and the result STAYS on device: the
-        # metric feature loop feeds it straight into a jitted detector, and
-        # a host round-trip through the axon tunnel is ~16x slower than the
-        # detector itself (benchmarks/bench_metrics.py).  Host-side callers
-        # np.asarray() the return.
-        return jnp.clip(jnp.rint((img.astype(jnp.float32) + 1) * 127.5),
-                        0, 255).astype(jnp.uint8)
+        # The result STAYS on device: the metric feature loop feeds it
+        # straight into a jitted detector, and a host round-trip through
+        # the axon tunnel is ~5x slower than the detector itself
+        # (benchmarks/bench_metrics.py).  Host-side callers np.asarray().
+        from style_big_gan_tpu.tools.loader import images_to_uint8_device
+        return images_to_uint8_device(img)
 
     def _ema_apply(self, g_vars, z, c, truncation_psi):
         if not hasattr(self, "_ema_apply_fn"):
