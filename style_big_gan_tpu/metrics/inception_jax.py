@@ -314,5 +314,10 @@ class InceptionV3JaxDetector:
         self._run = run
 
     def __call__(self, images_u8, return_logits: bool = False) -> np.ndarray:
+        return np.asarray(self.features_device(images_u8, return_logits))
+
+    def features_device(self, images_u8, return_logits: bool = False):
+        """Device-resident features (no host sync) — used by the metric
+        loops to pipeline rollout + detector dispatches."""
         feat, logits = self._run(self.params, jnp.asarray(images_u8))
-        return np.asarray(logits if return_logits else feat)
+        return logits if return_logits else feat

@@ -103,8 +103,11 @@ def _fake_detector(path=None):
         logits_dim = 64
 
         def __call__(self, images_u8, return_logits=False):
+            return np.asarray(self.features_device(images_u8, return_logits))
+
+        def features_device(self, images_u8, return_logits=False):
             feat, logits = apply(jnp.asarray(images_u8))
-            return np.asarray(logits if return_logits else feat)
+            return logits if return_logits else feat
 
     return _Det()
 
@@ -271,13 +274,28 @@ def compute_feature_stats_for_generator(opts: MetricOptions, detector,
                                         max_items: int = 50000,
                                         return_logits: bool = False,
                                         **stats_kwargs) -> FeatureStats:
-    """reference: metric_utils.py:234-276 — G_ema rollouts through detector."""
+    """reference: metric_utils.py:234-276 — G_ema rollouts through detector.
+
+    When the sampler returns device arrays and the detector exposes
+    `features_device`, batches stay on device and UNSYNCED until one final
+    host fetch: rollout and detector dispatches pipeline freely instead of
+    blocking on a per-batch np.asarray (per-batch host syncs dominate
+    metric time on tunneled TPUs, benchmarks/bench_metrics.py)."""
     stats = FeatureStats(max_items=max_items, **stats_kwargs)
     bs = opts.batch_size
     rng = np.random.RandomState(opts.rng_seed)
-    while not stats.is_full():
+    dev_fn = getattr(detector, "features_device", None)
+    dev_batches = []
+    count = 0
+    while count < max_items:
         images = opts.G(batch_size=bs, rng=rng, **opts.G_kwargs)
         assert images.dtype == np.uint8
-        feats = detector(images, return_logits=return_logits)
-        stats.append(feats)
+        if dev_fn is not None and not isinstance(images, np.ndarray):
+            dev_batches.append(dev_fn(images, return_logits=return_logits))
+            count += int(images.shape[0])
+        else:
+            stats.append(detector(images, return_logits=return_logits))
+            count = stats.num_items
+    if dev_batches:
+        stats.append(np.asarray(jnp.concatenate(dev_batches, axis=0)))
     return stats

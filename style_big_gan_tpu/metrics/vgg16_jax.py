@@ -196,5 +196,8 @@ class VGG16LPIPSJaxDetector:
         self.embed = lambda x: model.apply(self.params, x)
 
     def __call__(self, images_u8, return_logits: bool = False) -> np.ndarray:
+        return np.asarray(self.features_device(images_u8, return_logits))
+
+    def features_device(self, images_u8, return_logits: bool = False):
         del return_logits   # vgg16 has no logits head here
-        return np.asarray(self._run(self.params, jnp.asarray(images_u8)))
+        return self._run(self.params, jnp.asarray(images_u8))
