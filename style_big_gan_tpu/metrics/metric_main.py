@@ -190,6 +190,7 @@ def _compute_ppl(opts: MetricOptions, num_samples: int, epsilon: float,
         raise ValueError("PPL requires G_kwargs['ppl_sampler'] "
                          "(see tools/calc_metrics.py)")
     detector = get_feature_detector(opts.detector, opts.detector_path)
+    dev_fn = getattr(detector, "features_device", None)
     dists = []
     bs = opts.batch_size
     rng = np.random.RandomState(opts.rng_seed)
@@ -197,12 +198,20 @@ def _compute_ppl(opts: MetricOptions, num_samples: int, epsilon: float,
     while done < num_samples:
         img0, img1 = sampler(batch_size=bs, rng=rng, epsilon=epsilon,
                              space=space, sampling=sampling, crop=crop)
-        f0 = detector(img0)
-        f1 = detector(img1)
-        d = np.sum((f0 - f1) ** 2, axis=1) / epsilon ** 2
-        dists.append(d)
+        if dev_fn is not None and not isinstance(img0, np.ndarray):
+            # Keep the squared LPIPS distance on device, defer all syncs
+            # (same pipelining as compute_feature_stats_for_generator).
+            import jax.numpy as jnp
+            f0 = dev_fn(img0)
+            f1 = dev_fn(img1)
+            dists.append(jnp.sum(jnp.square(f0 - f1), axis=1)
+                         / epsilon ** 2)
+        else:
+            f0 = detector(img0)
+            f1 = detector(img1)
+            dists.append(np.sum((f0 - f1) ** 2, axis=1) / epsilon ** 2)
         done += bs
-    dist = np.concatenate(dists)[:num_samples]
+    dist = np.concatenate([np.asarray(d) for d in dists])[:num_samples]
     lo = np.percentile(dist, 1, method="lower")
     hi = np.percentile(dist, 99, method="higher")
     return float(np.extract(np.logical_and(dist >= lo, dist <= hi),
