@@ -614,10 +614,17 @@ class BaseTrainer:
     # -------------------------------------------------------- training_loop
 
     def _ema_beta(self, cur_nimg: int) -> float:
-        """reference: trainers.py:752-761."""
+        """reference: trainers.py:752-761.
+
+        The g_step update is `ema + (p - ema) * (1 - beta)` in reference
+        terms, i.e. our beta is the RETENTION of the old average: beta=0
+        copies the current params (no averaging), beta->1 is a long memory.
+        With use_ema off, G_ema must track G exactly -> 0.0 (a 1.0 here
+        froze G_ema at initialization: every snapshot/grid/metric of a
+        use_ema=false config evaluated the random-init generator)."""
         a = self.args
         if not a.use_ema:
-            return 1.0
+            return 0.0
         ema_nimg = a.ema_kimg * 1000
         if a.ema_rampup is not None:
             ema_nimg = min(ema_nimg, cur_nimg * a.ema_rampup)

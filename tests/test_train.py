@@ -93,6 +93,28 @@ def test_g_and_d_steps_update_params():
     assert int(state3.step) == 1
 
 
+def test_ema_beta_semantics():
+    """beta is the retention of the old average: use_ema=False must yield
+    beta=0 so G_ema tracks G exactly (a 1.0 here froze G_ema at init and
+    every snapshot/metric of EMA-less configs evaluated a random net), and
+    with EMA on, g_step with beta=0 must copy params into the EMA."""
+    from style_big_gan_tpu.train.trainer import BaseTrainer
+    t = BaseTrainer.__new__(BaseTrainer)
+    from style_big_gan_tpu.utils.misc import EasyDict
+    t.args = EasyDict(use_ema=False, ema_kimg=10, ema_rampup=None,
+                      batch_size=64)
+    assert t._ema_beta(10_000) == 0.0
+    t.args.use_ema = True
+    assert 0.0 < t._ema_beta(10_000) < 1.0
+
+    steps, state = tiny_setup()
+    c = jnp.zeros((4, 0))
+    state2, _ = steps.g_step(state, c, 0.0)       # beta=0 -> exact copy
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params_g),
+                    jax.tree_util.tree_leaves(state2.params_g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_accumulation_matches_single_round():
     # same total batch, 1 round vs 2 rounds -> same grads (deterministic rng
     # differences only through per-round keys; disable noise by using D step
