@@ -220,12 +220,11 @@ def set_warp_pass_backend(backend: str) -> None:
 
 def _use_pallas_warp() -> bool:
     if _WARP_PASS_BACKEND == "auto":
-        # Single-accelerator only: pallas_call carries no GSPMD partitioning
-        # rule, so under a multi-chip mesh the partitioner would replicate
-        # it (correct but wasteful); the jnp scanline path shards cleanly.
-        # Force with set_warp_pass_backend('pallas') once a shard_map
-        # integration is in place.
-        return jax.default_backend() != "cpu" and jax.device_count() == 1
+        # The kernel is GSPMD-partitionable along the batch axis
+        # (ops/warp_pallas.py::_sharded_call), so it is the accelerator
+        # default for single- and multi-chip meshes alike; CPU keeps the
+        # jnp path (interpret-mode pallas is for tests only).
+        return jax.default_backend() != "cpu"
     return _WARP_PASS_BACKEND == "pallas"
 
 

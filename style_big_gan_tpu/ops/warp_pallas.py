@@ -99,6 +99,50 @@ def _bwd_kernel(g_ref, tent_ref, shift_ref, out_ref, *, bits):
     out_ref[0] = cur.astype(out_ref.dtype)
 
 
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_call(kernel, rule, rows_out, src, tent, shift, bits):
+    """Wrap the pallas_call in a jax custom_partitioning so GSPMD can run it
+    batch-sharded on a device mesh: every grid cell touches exactly one
+    image, so partitioning along dim 0 of all operands is exact — each
+    device runs the kernel on its local shard, no collectives.  Non-batch
+    dims are pinned replicated by the partition callback (the kernel needs
+    full rows/tent per image)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    key = (kernel.__name__ if hasattr(kernel, "__name__") else id(kernel),
+           rule, rows_out, bits)
+    f = _SHARDED_CACHE.get(key)
+    if f is None:
+        def raw(s, t, sh):
+            return _call(kernel, s.shape[1], rows_out, s, t, sh, bits)
+
+        def _batch_axis(arg_infos):
+            sharding = arg_infos[0].sharding
+            spec = sharding.spec if sharding is not None else None
+            return spec[0] if spec is not None and len(spec) else None
+
+        def partition(mesh, arg_infos, result_info):
+            b = _batch_axis(arg_infos)
+            return (mesh, raw,
+                    NamedSharding(mesh, PartitionSpec(b, None, None)),
+                    (NamedSharding(mesh, PartitionSpec(b, None, None)),
+                     NamedSharding(mesh, PartitionSpec(b, None, None)),
+                     NamedSharding(mesh, PartitionSpec(b, None))))
+
+        def infer(mesh, arg_infos, result_info):
+            b = _batch_axis(arg_infos)
+            return NamedSharding(mesh, PartitionSpec(b, None, None))
+
+        f = custom_partitioning(raw)
+        f.def_partition(infer_sharding_from_operands=infer,
+                        partition=partition, sharding_rule=rule)
+        _SHARDED_CACHE[key] = f
+    return f(src, tent, shift)
+
+
 def _call(kernel, rows_in, rows_out, src, tent, shift, bits):
     n, _, l = src.shape
     tiles = pl.cdiv(l, LANE)
@@ -138,11 +182,13 @@ def warp_pass(src, tent, shift, bits):
 
     def fwd(res, x):
         t, sh = res
-        return _call(_fwd_kernel, a, v, x, t, sh, bits)
+        return _sharded_call(_fwd_kernel, "n a l, n v a, n l -> n v l",
+                             v, x, t, sh, bits)
 
     def trans(res, ct):
         t, sh = res
-        return _call(_bwd_kernel, v, a, ct, t, sh, bits)
+        return _sharded_call(_bwd_kernel, "n v l, n v a, n l -> n a l",
+                             a, ct, t, sh, bits)
 
     return jax.custom_derivatives.linear_call(fwd, trans, (tent, shift), src)
 
