@@ -195,7 +195,11 @@ def preprocess(images_u8: jax.Array) -> jax.Array:
         x = jnp.tile(x, (1, 1, 1, 3))
     n, h, w, c = x.shape
     if (h, w) != (299, 299):
-        x = jax.image.resize(x, (n, 299, 299, c), method="bilinear")
+        # antialias=False: F.interpolate's bilinear applies no antialias
+        # filter; with the default antialias=True, downscales from >299px
+        # datasets would systematically drift from the reference detector.
+        x = jax.image.resize(x, (n, 299, 299, c), method="bilinear",
+                             antialias=False)
     return x / 127.5 - 1.0
 
 

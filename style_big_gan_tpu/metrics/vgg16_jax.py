@@ -64,6 +64,10 @@ class VGG16LPIPS(nn.Module):
             n, h, w, c = t.shape
             t = t / jnp.sqrt(jnp.sum(jnp.square(t), axis=-1,
                                      keepdims=True) + 1e-10)
+            # lin is stored in sqrt-space: richzhang LPIPS multiplies SQUARED
+            # feature diffs by learned weights w, so the embedding must scale
+            # normalized features by sqrt(w) for ||e0-e1||^2 == LPIPS
+            # (convert_torch_vgg16 stores np.sqrt(|w|)).
             lin = self.param(f"lin{i}", nn.initializers.ones, (c,))
             t = t * jnp.abs(lin) / np.sqrt(h * w)
             pieces.append(t.reshape(n, -1))
@@ -78,7 +82,10 @@ def preprocess(images_u8: jax.Array, size: int = 256) -> jax.Array:
         x = jnp.tile(x, (1, 1, 1, 3))
     n, h, w, c = x.shape
     if (h, w) != (size, size):
-        x = jax.image.resize(x, (n, size, size, c), method="bilinear")
+        # Non-antialiased bilinear: the reference detector resizes with
+        # F.interpolate(align_corners=False) semantics, no antialias filter.
+        x = jax.image.resize(x, (n, size, size, c), method="bilinear",
+                             antialias=False)
     return x / 127.5 - 1.0
 
 
@@ -138,7 +145,9 @@ def convert_torch_vgg16(path: str, out_path: Optional[str] = None):
                       and sd[k].ndim == 4)
     for i, c in enumerate(_TAP_CH):
         if i < len(lin_keys):
-            lin = np.abs(sd[lin_keys[i]]).reshape(-1)
+            # Torch LPIPS lin weights multiply SQUARED diffs; the embedding
+            # needs their square root (see VGG16LPIPS.__call__).
+            lin = np.sqrt(np.abs(sd[lin_keys[i]]).reshape(-1))
         else:
             lin = np.ones(c, np.float32) / np.sqrt(len(_TAP_CH))
         params[f"lin{i}"] = jnp.asarray(lin.astype(np.float32))
@@ -191,7 +200,17 @@ class VGG16LPIPSJaxDetector:
         def run(params, x):
             return model.apply(params, preprocess(x, size))
 
+        @jax.jit
+        def run_native(params, x):
+            # No resize: the reference PPL feeds native-resolution images
+            # (vgg16(..., resize_images=False), perceptual_path_length.py:90).
+            x = x.astype(jnp.float32)
+            if x.shape[-1] == 1:
+                x = jnp.tile(x, (1, 1, 1, 3))
+            return model.apply(params, x / 127.5 - 1.0)
+
         self._run = run
+        self._run_native = run_native
         # Differentiable feature fn for the projector (float [-1,1] input).
         self.embed = lambda x: model.apply(self.params, x)
 
@@ -201,3 +220,7 @@ class VGG16LPIPSJaxDetector:
     def features_device(self, images_u8, return_logits: bool = False):
         del return_logits   # vgg16 has no logits head here
         return self._run(self.params, jnp.asarray(images_u8))
+
+    def lpips_embed_device(self, images):
+        """Native-resolution embedding for PPL (uint8 or float [0,255])."""
+        return self._run_native(self.params, jnp.asarray(images))

@@ -67,8 +67,11 @@ def project(G, g_vars, target_u8: np.ndarray, *, num_steps=1000,
             if x.shape[-1] == 1:
                 x = jnp.tile(x, (1, 1, 1, 3))
             n, h, w, c = x.shape
-            if h > 256:   # reference downsamples to <=256 (projector.py:63)
-                x = jax.image.resize(x, (n, 256, 256, c), method="bilinear")
+            if h > 256:
+                # Area (mean-pool) downsample to 256, matching the reference
+                # projector's F.interpolate(mode='area') (projector.py:63-66).
+                f = h // 256
+                x = x.reshape(n, 256, f, 256, f, c).mean(axis=(2, 4))
             return vgg.apply(vgg_params, x)
     else:
         k1, k2 = jax.random.split(jax.random.PRNGKey(1234))

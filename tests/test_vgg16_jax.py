@@ -108,6 +108,58 @@ def test_converter_richzhang_naming(tmp_path):
     p = params["params"]
     assert p["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
     assert p["conv4_1"]["kernel"].shape == (3, 3, 256, 512)
-    # lins taken from the checkpoint, not defaults
-    lin0_src = np.abs(sd["lin0.model.1.weight"].numpy()).reshape(-1)
+    # lins stored in sqrt-space: torch LPIPS weights multiply SQUARED diffs,
+    # the embedding scales features by sqrt(w) so ||e0-e1||^2 == LPIPS.
+    lin0_src = np.sqrt(np.abs(sd["lin0.model.1.weight"].numpy()).reshape(-1))
     np.testing.assert_allclose(np.asarray(p["lin0"]), lin0_src, rtol=1e-6)
+
+
+def test_lpips_embedding_matches_torch_lpips_formula():
+    """Golden identity: ||e0-e1||^2 must equal the explicit LPIPS formula
+    sum_l mean_hw sum_c w_lc * (n0 - n1)^2 with the ORIGINAL (non-sqrt)
+    weights — guards the sqrt-space storage convention end to end."""
+    rnd = np.random.RandomState(3)
+    params = random_params(seed=0, res=32)
+    # Fake "torch-space" lin weights w; store sqrt(w) as the module expects.
+    p = dict(params["params"])
+    w_orig = {}
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        w = rnd.rand(c).astype(np.float32)
+        w_orig[i] = w
+        p[f"lin{i}"] = jnp.asarray(np.sqrt(w))
+    params = {"params": p}
+
+    x0 = jnp.asarray(rnd.rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+    x1 = jnp.asarray(rnd.rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+    model = VGG16LPIPS()
+    e0, e1 = model.apply(params, x0), model.apply(params, x1)
+    dist_embed = float(np.sum((np.asarray(e0) - np.asarray(e1)) ** 2))
+
+    # Explicit formula on unit-normalized taps.
+    import flax.linen as nn
+    from style_big_gan_tpu.metrics.vgg16_jax import (_SHIFT, _SCALE, _TAPS,
+                                                     _VGG_PLAN)
+
+    def taps(x):
+        x = (x - _SHIFT) / _SCALE
+        out = []
+        for item in _VGG_PLAN:
+            if item == "M":
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
+                continue
+            name, ch = item
+            x = nn.relu(nn.Conv(ch, (3, 3), padding=1, name=name).apply(
+                {"params": params["params"][name]}, x))
+            if name in _TAPS:
+                out.append(x)
+        return out
+
+    dist_formula = 0.0
+    for i, (t0, t1) in enumerate(zip(taps(x0), taps(x1))):
+        n0 = t0 / jnp.sqrt(jnp.sum(t0 ** 2, -1, keepdims=True) + 1e-10)
+        n1 = t1 / jnp.sqrt(jnp.sum(t1 ** 2, -1, keepdims=True) + 1e-10)
+        sq = (n0 - n1) ** 2 * jnp.asarray(w_orig[i])
+        dist_formula += float(jnp.mean(jnp.sum(sq, -1)))
+    np.testing.assert_allclose(dist_embed, dist_formula, rtol=1e-4)
