@@ -182,15 +182,22 @@ def _compute_pr(opts: MetricOptions, max_real: Optional[int], num_gen: int,
 def _compute_ppl(opts: MetricOptions, num_samples: int, epsilon: float,
                  space: str, sampling: str, crop: bool) -> float:
     """reference: perceptual_path_length.py:24-132.  Requires a G that
-    exposes paired perturbed rollouts via opts.G_kwargs['ppl_sampler']."""
+    exposes paired perturbed rollouts via opts.G_kwargs['ppl_sampler'] — a
+    metrics.ppl_sampler.PPLSampler (built by tools/calc_metrics.py and
+    BaseTrainer.evaluate_metrics for SG2-family generators)."""
     if opts.num_items:
         num_samples = min(num_samples, opts.num_items)
     sampler = opts.G_kwargs.get("ppl_sampler")
     if sampler is None:
-        raise ValueError("PPL requires G_kwargs['ppl_sampler'] "
-                         "(see tools/calc_metrics.py)")
+        raise ValueError(
+            "PPL requires G_kwargs['ppl_sampler'] "
+            "(metrics/ppl_sampler.PPLSampler; needs an SG2-family G)")
     detector = get_feature_detector(opts.detector, opts.detector_path)
-    dev_fn = getattr(detector, "features_device", None)
+    # Native-resolution LPIPS when the detector supports it (the reference
+    # PPL feeds vgg16 with resize_images=False); fall back to the generic
+    # feature path otherwise.
+    dev_fn = getattr(detector, "lpips_embed_device", None) or \
+        getattr(detector, "features_device", None)
     dists = []
     bs = opts.batch_size
     rng = np.random.RandomState(opts.rng_seed)

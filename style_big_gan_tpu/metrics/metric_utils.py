@@ -9,9 +9,11 @@ Rebuild of reference stylegan2ada/metrics/metric_utils.py for the TPU stack:
 * FeatureStats: identical streaming (mean, cov) + capture-all semantics
   (reference: metric_utils.py:56-132).
 * dataset/generator feature loops with an md5-keyed on-disk cache
-  (reference: metric_utils.py:181-276).  Multi-process gather is unnecessary
-  in SPMD (one host process feeds all local devices); multi-host sharding
-  hooks are provided via shard/num_shards.
+  (reference: metric_utils.py:181-276).  shard/num_shards stride the items
+  per process exactly like the reference's rank interleaving (:205-207);
+  under `jax.distributed` multi-host runs each batch's features are
+  all-gathered so every process ends with full stats, and single-process
+  shards return partial stats for FeatureStats.merge.
 """
 
 from __future__ import annotations
@@ -198,6 +200,23 @@ class FeatureStats:
         cov = self.raw_cov / self.num_items - np.outer(mean, mean)
         return mean, cov
 
+    def merge(self, *others: "FeatureStats") -> "FeatureStats":
+        """Combine shard-partial stats into full stats (the local-process
+        counterpart of the reference's per-batch rank gather,
+        metric_utils.py:96-106).  Feature ORDER follows argument order;
+        mean/cov/PR consumers are order-free."""
+        for o in others:
+            if o.num_features is None:
+                continue
+            self.set_num_features(o.num_features)
+            self.num_items += o.num_items
+            if self.capture_all:
+                self.all_features.extend(o.all_features)
+            if self.capture_mean_cov:
+                self.raw_mean += o.raw_mean
+                self.raw_cov += o.raw_cov
+        return self
+
     def save(self, path: str):
         with open(path, "wb") as f:
             pickle.dump(self.__dict__, f)
@@ -237,32 +256,69 @@ def _cache_key(tag: str, opts: MetricOptions, detector) -> str:
     return hashlib.md5(ident.encode()).hexdigest()
 
 
+def _shard_gather(opts: MetricOptions):
+    """Per-batch cross-process feature gather, the SPMD counterpart of the
+    reference's rank-interleaved all-gather (metric_utils.py:96-106).
+    Returns a gather fn (or None) — non-None means every process ends up
+    with the FULL stats.  Active only under `jax.distributed` multi-host
+    runs with one shard per process."""
+    if opts.num_shards <= 1 or jax.process_count() <= 1:
+        return None
+    if opts.num_shards != jax.process_count():
+        return None
+    from jax.experimental import multihost_utils
+
+    def gather(feats) -> np.ndarray:
+        g = multihost_utils.process_allgather(jnp.asarray(feats))
+        return np.asarray(g).reshape(-1, g.shape[-1])   # rank-major concat
+
+    return gather
+
+
 def compute_feature_stats_for_dataset(opts: MetricOptions, detector,
                                       max_items: Optional[int] = None,
                                       return_logits: bool = False,
                                       **stats_kwargs) -> FeatureStats:
-    """reference: metric_utils.py:181-230 (md5 cache kept, collectives gone)."""
+    """reference: metric_utils.py:181-230.  Shard semantics match the
+    reference's rank striding: shard s processes items {i*num_shards+s mod N}
+    (equal counts per shard via modulo wrap, :205-207); under multi-host the
+    per-batch gather makes every process's stats full, single-process shards
+    return partials for FeatureStats.merge."""
     dataset = opts.dataset
     num_items = len(dataset)
     if max_items is not None:
         num_items = min(num_items, max_items)
+    gather = _shard_gather(opts)
+    full = opts.num_shards <= 1 or gather is not None
 
     cache_file = None
-    if opts.cache_dir is not None:
+    if opts.cache_dir is not None and full:
         key = _cache_key(f"dataset-{sorted(stats_kwargs.items())}"
                          f"-{return_logits}", opts, detector)
         cache_file = os.path.join(opts.cache_dir, f"feats-{key}.pkl")
         if os.path.isfile(cache_file):
             return FeatureStats.load(cache_file)
 
-    stats = FeatureStats(max_items=num_items, **stats_kwargs)
+    stats = FeatureStats(max_items=num_items if full else None,
+                         **stats_kwargs)
     bs = opts.batch_size
-    for start in range(0, num_items, bs):
+    if gather is not None:
+        # Modulo wrap keeps per-shard counts equal so multi-host gathers
+        # stay rectangular; max_items truncates the wrapped excess.
+        per_shard = (num_items - 1) // opts.num_shards + 1
+        subset = [(i * opts.num_shards + opts.shard) % num_items
+                  for i in range(per_shard)]
+    else:
+        # Partial-stats mode (merged later): no wrap, no duplicates.
+        subset = list(range(opts.shard, num_items, opts.num_shards))
+    for start in range(0, len(subset), bs):
         if stats.is_full():
             break
-        idxs = range(start, min(start + bs, num_items))
+        idxs = subset[start:start + bs]
         images = np.stack([dataset[i][0] for i in idxs])
         feats = detector(images, return_logits=return_logits)
+        if gather is not None:
+            feats = gather(feats)
         stats.append(feats)
     if cache_file is not None:
         os.makedirs(opts.cache_dir, exist_ok=True)
@@ -280,17 +336,32 @@ def compute_feature_stats_for_generator(opts: MetricOptions, detector,
     `features_device`, batches stay on device and UNSYNCED until one final
     host fetch: rollout and detector dispatches pipeline freely instead of
     blocking on a per-batch np.asarray (per-batch host syncs dominate
-    metric time on tunneled TPUs, benchmarks/bench_metrics.py)."""
-    stats = FeatureStats(max_items=max_items, **stats_kwargs)
+    metric time on tunneled TPUs, benchmarks/bench_metrics.py).
+
+    Sharding: shard s generates ceil(max_items/num_shards) of the rollouts
+    (seeded per shard); multi-host runs gather per batch so every process
+    ends with full stats, single-process shards return partials for
+    FeatureStats.merge."""
+    gather = _shard_gather(opts)
+    full = opts.num_shards <= 1 or gather is not None
+    local_target = (max_items - 1) // opts.num_shards + 1
+    stats = FeatureStats(max_items=max_items if full else local_target,
+                         **stats_kwargs)
     bs = opts.batch_size
-    rng = np.random.RandomState(opts.rng_seed)
+    rng = np.random.RandomState(opts.rng_seed + opts.shard)
     dev_fn = getattr(detector, "features_device", None)
     dev_batches = []
     count = 0
-    while count < max_items:
+    while count < local_target:
         images = opts.G(batch_size=bs, rng=rng, **opts.G_kwargs)
         assert images.dtype == np.uint8
-        if dev_fn is not None and not isinstance(images, np.ndarray):
+        if gather is not None:
+            feats = dev_fn(images, return_logits=return_logits) \
+                if dev_fn is not None else \
+                detector(images, return_logits=return_logits)
+            stats.append(gather(feats))
+            count += int(images.shape[0])
+        elif dev_fn is not None and not isinstance(images, np.ndarray):
             dev_batches.append(dev_fn(images, return_logits=return_logits))
             count += int(images.shape[0])
         else:

@@ -62,6 +62,11 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
             c = jnp.zeros((batch_size, 0), jnp.float32)
         return images_to_uint8_device(run(z, c))
 
+    g_kwargs = {}
+    if any(m.startswith("ppl") for m in metric_names):
+        from style_big_gan_tpu.metrics.ppl_sampler import PPLSampler
+        g_kwargs["ppl_sampler"] = PPLSampler(G, g_vars, dataset=dataset)
+
     results = {}
     for metric in metric_names:
         if not metric_main.is_valid_metric(metric):
@@ -69,9 +74,13 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
                   f"{metric_main.list_valid_metrics()}")
             continue
         res = metric_main.calc_metric(
-            metric, G=g_sampler, dataset=dataset, dataset_kwargs=ds_kwargs,
+            metric, G=g_sampler, G_kwargs=g_kwargs, dataset=dataset,
+            dataset_kwargs=ds_kwargs,
             detector=detector, detector_path=detector_path,
             batch_size=batch, rng_seed=seed,
+            # Multi-host runs shard feature extraction per process and
+            # gather per batch (metric_utils._shard_gather).
+            shard=jax.process_index(), num_shards=jax.process_count(),
             cache_dir=os.path.join(run_dir, "metric-cache"))
         metric_main.report_metric(res, run_dir=run_dir)
         results.update(res.results)
