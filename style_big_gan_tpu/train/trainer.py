@@ -146,9 +146,19 @@ class BaseTrainer:
         if a.batch_size % a.num_devices != 0:
             raise ValueError("batch must divide the device count")
         per_dev = a.batch_size // a.num_devices
-        a.num_accum_rounds = max(1, per_dev // max(a.batch_device, 1))
-        if a.num_accum_rounds * a.batch_device * a.num_devices < a.batch_size:
-            a.num_accum_rounds = 1  # batch fits in one round per device
+        if a.batch_device <= 0:
+            a.batch_device = per_dev   # one round, full per-device batch
+        if a.batch_device > per_dev:
+            a.batch_device = per_dev   # reference caps batch_gpu at per-GPU
+        # Hard divisibility check (reference: trainers.py:200-204) — a silent
+        # fallback here ran full per-device microbatches behind the user's
+        # back, risking OOM.
+        if per_dev % a.batch_device != 0:
+            raise ValueError(
+                f"gen.batch ({a.batch_size}) must be divisible by "
+                f"gen.batch_device * devices "
+                f"({a.batch_device} * {a.num_devices})")
+        a.num_accum_rounds = per_dev // a.batch_device
 
         a.total_kimg = float(c.gen.kimg)   # fractional kimg OK (tiny test runs)
         a.kimg_per_tick = int(c.log.kimg_per_tick)
@@ -469,7 +479,18 @@ class BaseTrainer:
             if "ada_p" in p:
                 state = state.replace(ada_p=jnp.asarray(p["ada_p"],
                                                         jnp.float32))
-        self.state = mesh_lib.replicate_tree(self.mesh, state)
+        if a.model_parallel > 1:
+            # Tensor parallel: large kernels sharded on the output-channel
+            # axis over the 'model' mesh axis (optimizer moments follow
+            # their params leaf-wise); everything else replicated.  GSPMD
+            # inserts the activation collectives.
+            self.state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, mesh_lib.infer_param_sharding(x, self.mesh)
+                    if hasattr(x, "ndim") and x.ndim >= 2
+                    else mesh_lib.replicated(self.mesh)), state)
+        else:
+            self.state = mesh_lib.replicate_tree(self.mesh, state)
 
     # --------------------------------------------------------- persistence
 
@@ -594,9 +615,24 @@ class BaseTrainer:
             def g_sampler(batch_size, rng=rng, **kw):
                 return self.generate_images_ema(batch_size, rng)
 
+            g_kwargs = {}
+            if metric.startswith("ppl"):
+                from style_big_gan_tpu.metrics.ppl_sampler import PPLSampler
+                try:
+                    g_kwargs["ppl_sampler"] = PPLSampler(
+                        self.G, merge_vars(self.state.params_g_ema,
+                                           self.state.g_state_ema),
+                        dataset=self.dataset)
+                except ValueError as e:
+                    print(f"Metric {metric} skipped: {e}")
+                    continue
+
+            # ValueError covers metric config errors (e.g. a ppl* metric on
+            # a sampler-less G) — a bad metric list must not kill training.
             try:
                 res = metric_main.calc_metric(
-                    metric, G=g_sampler, dataset=self.dataset,
+                    metric, G=g_sampler, G_kwargs=g_kwargs,
+                    dataset=self.dataset,
                     dataset_kwargs=a.dataset_kwargs,
                     detector=str(getattr(self.config.log, "detector",
                                          "fake_v1")),
@@ -607,7 +643,7 @@ class BaseTrainer:
                 for k, v in res.results.items():
                     results[f"Metrics/{k}"] = v
                     self.collector.report(f"Metrics/{k}", v)
-            except FileNotFoundError as e:
+            except (FileNotFoundError, ValueError) as e:
                 print(f"Metric {metric} skipped: {e}")
         return results
 

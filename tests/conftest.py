@@ -9,10 +9,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-# Note: XLA:CPU's all-reduce rendezvous aborts (rendezvous.cc termination
-# timeout) when 8-participant collectives run heavy per-device compute under
-# load; trainer-level e2e tests therefore run on a 2-device mesh
-# (test_e2e.py), while cheap collective tests use all 8.
+# Trainer e2e tests run single-device for speed plus one 2-device run
+# (test_e2e.py::test_dcgan_end_to_end_multidevice); the full trainer is
+# verified green on all 8 fake devices (round-1's rendezvous aborts stopped
+# reproducing once the D phase split into rollout + update programs).
 
 import jax  # noqa: E402  (import after env is set)
 

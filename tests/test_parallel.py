@@ -57,6 +57,90 @@ def test_batchnorm_is_cross_replica_under_sharding():
                                rtol=1e-5)
 
 
+def test_ccbn_cross_replica_on_real_layer():
+    """The actual BigGAN CCBN layer (train mode, batch_stats mutable) on an
+    8-way-sharded batch must produce the same normalized output AND the same
+    updated running stats as unsharded — real SyncBN semantics (reference:
+    biggan/sync_batchnorm/batchnorm.py:38-159), not just a bare mean."""
+    from style_big_gan_tpu.models.biggan import CCBN
+
+    layer = CCBN(channels=16, use_sn=False)
+    rnd = np.random.RandomState(0)
+    x = rnd.randn(16, 4, 4, 16).astype(np.float32)
+    y = rnd.randn(16, 8).astype(np.float32)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(y))
+
+    def fwd(v, x, y):
+        return layer.apply(v, x, y, train=True, update_stats=True,
+                           mutable=["batch_stats"])
+
+    out_ref, mut_ref = jax.jit(fwd)(variables, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = mesh_lib.make_mesh(8)
+    vs = mesh_lib.replicate_tree(mesh, variables)
+    xs, ys = mesh_lib.shard_batch(mesh, (x, y))
+    out_sh, mut_sh = jax.jit(fwd)(vs, xs, ys)
+
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_ref),
+                    jax.tree_util.tree_leaves(mut_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_biggan_bn_cross_replica_on_real_layer():
+    """Same for the plain BigGANBN wrapper (flax BatchNorm path)."""
+    from style_big_gan_tpu.models.biggan import BigGANBN
+
+    layer = BigGANBN(channels=8)
+    rnd = np.random.RandomState(1)
+    x = rnd.randn(16, 4, 4, 8).astype(np.float32)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def fwd(v, x):
+        return layer.apply(v, x, train=True, mutable=["batch_stats"])
+
+    out_ref, mut_ref = jax.jit(fwd)(variables, jnp.asarray(x))
+    mesh = mesh_lib.make_mesh(8)
+    vs = mesh_lib.replicate_tree(mesh, variables)
+    (xs,) = mesh_lib.shard_batch(mesh, (x,))
+    out_sh, mut_sh = jax.jit(fwd)(vs, xs)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_ref),
+                    jax.tree_util.tree_leaves(mut_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_spectral_norm_u_update_consistent_under_sharding():
+    """SN power-iteration u vectors update from the (replicated) weight, so
+    the post-forward u state must be identical with a sharded batch."""
+    from style_big_gan_tpu.models.spectral_norm import SNDense
+
+    layer = SNDense(12)
+    rnd = np.random.RandomState(2)
+    x = rnd.randn(16, 6).astype(np.float32)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def fwd(v, x):
+        return layer.apply(v, x, True, mutable=["sn"])
+
+    out_ref, mut_ref = jax.jit(fwd)(variables, jnp.asarray(x))
+    mesh = mesh_lib.make_mesh(8)
+    vs = mesh_lib.replicate_tree(mesh, variables)
+    (xs,) = mesh_lib.shard_batch(mesh, (x,))
+    out_sh, mut_sh = jax.jit(fwd)(vs, xs)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_ref),
+                    jax.tree_util.tree_leaves(mut_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_sharded_step_matches_single_device():
     """d_step gradients with batch sharded over 8 devices == unsharded."""
     from style_big_gan_tpu.train.loss_arch import split_vars
@@ -102,6 +186,63 @@ def test_sharded_step_matches_single_device():
                     jax.tree_util.tree_leaves(p8)):
         # atol covers XLA:CPU picking different conv codegen for the
         # per-device batch shape (16 vs 2), amplified through BN rsqrt.
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-4)
+
+
+def test_tp_sharded_step_matches_replicated():
+    """Tensor-parallel param placement (infer_param_sharding over a
+    data x model mesh — the rule the real trainer applies when
+    perf.model_parallel > 1) must not change the numbers."""
+    from style_big_gan_tpu.train.loss_arch import split_vars
+    from style_big_gan_tpu.train.state import create_train_state
+    from style_big_gan_tpu.train.steps import StepBuilder
+
+    G = registries.generators["cnn32_dcgan"](z_dim=8)
+    D = registries.discriminators["cnn32_dcgan"]()
+    arch = registries.losses_arch["base"]()
+    arch.initialize(G, D, registries.losses["bcew"](), [], [], None)
+    z = jnp.zeros((2, 8))
+    img = jnp.zeros((2, 32, 32, 3))
+    gv = G.init({"params": jax.random.PRNGKey(0),
+                 "noise": jax.random.PRNGKey(1)}, z)
+    dv = D.init({"params": jax.random.PRNGKey(2)}, img)
+    pg, gs = split_vars(gv)
+    pd, ds = split_vars(dv)
+    tx = optax.sgd(0.1)
+
+    real = np.random.RandomState(0).randn(8, 32, 32, 3).astype(np.float32)
+    c = np.zeros((8, 0), np.float32)
+
+    def run(model_parallel: int):
+        mesh = mesh_lib.make_mesh(4, model_parallel=model_parallel)
+        state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds,
+                                   tx, tx)
+        if model_parallel > 1:
+            # Same placement rule as BaseTrainer.setup_training_phases.
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, mesh_lib.infer_param_sharding(x, mesh,
+                                                     min_size=2 ** 10)
+                    if hasattr(x, "ndim") and x.ndim >= 2
+                    else mesh_lib.replicated(mesh)), state)
+        else:
+            state = mesh_lib.replicate_tree(mesh, state)
+        steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False,
+                            data_sharding=mesh_lib.batch_sharding(mesh, 2))
+        batch = mesh_lib.shard_batch(mesh, (real, c, c))
+        s2, stats = steps.d_step(state, *batch)
+        s3, gstats = steps.g_step(s2, batch[2], 0.0)
+        return (jax.device_get(s3.params_d), jax.device_get(s3.params_g),
+                jax.device_get({**stats, **gstats}))
+
+    pd1, pg1, st1 = run(1)
+    pd2, pg2, st2 = run(2)
+    np.testing.assert_allclose(st1["Loss/D/loss"], st2["Loss/D/loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(st1["Loss/G/loss"], st2["Loss/G/loss"],
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves((pd1, pg1)),
+                    jax.tree_util.tree_leaves((pd2, pg2))):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-4)
 
 
