@@ -29,10 +29,19 @@ def parse_range(s: str) -> List[int]:
     return ranges
 
 
+def _save_png(arr_u8: np.ndarray, path: str):
+    import PIL.Image
+    if arr_u8.shape[-1] == 1:
+        PIL.Image.fromarray(arr_u8[:, :, 0], "L").save(path)
+    else:
+        PIL.Image.fromarray(arr_u8, "RGB").save(path)
+
+
 def generate_images(run_dir: str, seeds: List[int], outdir: str,
                     truncation_psi: float = 1.0, noise_mode: str = "const",
                     class_idx: Optional[int] = None,
-                    snapshot: Optional[str] = None):
+                    snapshot: Optional[str] = None,
+                    projected_w: Optional[str] = None):
     import jax
     import jax.numpy as jnp
     import PIL.Image
@@ -41,6 +50,22 @@ def generate_images(run_dir: str, seeds: List[int], outdir: str,
 
     G, g_vars, _opts = load_generator(run_dir, snapshot)
     os.makedirs(outdir, exist_ok=True)
+
+    if projected_w is not None:
+        # Render a projector trajectory (reference: generate.py:73-84):
+        # each row of the .npz 'w' array is a [num_ws, w_dim] latent.
+        ws = np.load(projected_w)["w"]
+        assert ws.ndim == 3 and ws.shape[1:] == (int(G.num_ws),
+                                                 int(G.w_dim)), ws.shape
+        synth = jax.jit(lambda w: G.apply(
+            g_vars, w, method=G.synthesize, noise_mode=noise_mode,
+            rngs={"noise": jax.random.PRNGKey(0)}))
+        for idx in range(ws.shape[0]):
+            img = images_to_uint8(synth(jnp.asarray(ws[idx:idx + 1],
+                                                    jnp.float32)))
+            _save_png(img[0], os.path.join(outdir, f"proj{idx:02d}.png"))
+            print(f"w {idx} -> {outdir}/proj{idx:02d}.png")
+        return
     c_dim = int(getattr(G, "c_dim", 0))
     label = np.zeros((1, c_dim), np.float32)
     if c_dim > 0:
@@ -68,13 +93,7 @@ def generate_images(run_dir: str, seeds: List[int], outdir: str,
         z = jnp.asarray(np.random.RandomState(seed).randn(
             1, int(getattr(G, "z_dim", 128))), jnp.float32)
         img = images_to_uint8(run(z, jnp.asarray(label)))
-        out = img[0]
-        if out.shape[-1] == 1:
-            PIL.Image.fromarray(out[:, :, 0], "L").save(
-                os.path.join(outdir, f"seed{seed:04d}.png"))
-        else:
-            PIL.Image.fromarray(out, "RGB").save(
-                os.path.join(outdir, f"seed{seed:04d}.png"))
+        _save_png(img[0], os.path.join(outdir, f"seed{seed:04d}.png"))
         print(f"seed {seed} -> {outdir}/seed{seed:04d}.png")
 
 
@@ -87,10 +106,13 @@ def main(argv=None):
     p.add_argument("--noise-mode", default="const",
                    choices=["random", "const", "none"])
     p.add_argument("--class", dest="class_idx", type=int, default=None)
+    p.add_argument("--projected-w", default=None,
+                   help="projected_w.npz from tools/projector.py; renders "
+                        "its W rows instead of seeds")
     p.add_argument("--outdir", required=True)
     a = p.parse_args(argv)
     generate_images(a.run_dir, parse_range(a.seeds), a.outdir, a.trunc,
-                    a.noise_mode, a.class_idx, a.snapshot)
+                    a.noise_mode, a.class_idx, a.snapshot, a.projected_w)
 
 
 if __name__ == "__main__":

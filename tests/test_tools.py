@@ -115,6 +115,31 @@ def test_projector_runs(tiny_run, tmp_path):
     assert (out / "projected_w.npz").exists()
 
 
+def test_projected_w_roundtrip(tiny_run, tmp_path):
+    """Project a synthetic target, then re-render its saved W via
+    generate --projected-w (reference: projector.py:190-199 +
+    generate.py:73-84)."""
+    import PIL.Image
+    from style_big_gan_tpu.tools import generate, projector
+    target = tmp_path / "target.png"
+    PIL.Image.fromarray(
+        (np.random.RandomState(1).rand(32, 32, 3) * 255).astype("uint8")
+    ).save(target)
+    proj_out = tmp_path / "proj"
+    projector.run_projection(tiny_run, str(target), str(proj_out),
+                             num_steps=3, seed=2)
+    gen_out = tmp_path / "gen"
+    generate.main(["--run-dir", tiny_run,
+                   "--projected-w", str(proj_out / "projected_w.npz"),
+                   "--outdir", str(gen_out)])
+    assert (gen_out / "proj00.png").exists()
+    # The re-render must match the projector's own final render.
+    a = np.asarray(PIL.Image.open(gen_out / "proj00.png"))
+    b = np.asarray(PIL.Image.open(proj_out / "proj.png"))
+    np.testing.assert_allclose(a.astype(np.int32), b.astype(np.int32),
+                               atol=1)
+
+
 def test_dataset_tool_folder_to_zip(tmp_path):
     import PIL.Image
     from style_big_gan_tpu.tools import dataset_tool
