@@ -180,6 +180,10 @@ class ImageFolderDataset(Dataset):
                  xflip: bool = False, random_seed: int = 0):
         self._path = str(path)
         self._tls = threading.local()
+        # Every zip handle ever opened (one per loader worker thread) —
+        # close() must release them all, not just the calling thread's.
+        self._zip_handles = []
+        self._zip_lock = threading.Lock()
 
         if os.path.isdir(self._path):
             self._type = "dir"
@@ -217,6 +221,8 @@ class ImageFolderDataset(Dataset):
         if zf is None:
             zf = zipfile.ZipFile(self._path)
             self._tls.zipfile = zf
+            with self._zip_lock:
+                self._zip_handles.append(zf)
         return zf
 
     def _open_file(self, fname: str):
@@ -225,19 +231,28 @@ class ImageFolderDataset(Dataset):
         return self._get_zipfile().open(fname, "r")
 
     def close(self) -> None:
-        zf = getattr(self._tls, "zipfile", None)
-        if zf is not None:
-            zf.close()
-            self._tls.zipfile = None
+        # Close every worker thread's handle, not just this thread's.
+        with self._zip_lock:
+            handles, self._zip_handles = self._zip_handles, []
+        for zf in handles:
+            try:
+                zf.close()
+            except Exception:
+                pass
+        self._tls.zipfile = None
 
     def __getstate__(self):
         state = dict(super().__getstate__())
         state["_tls"] = None
+        state["_zip_handles"] = None
+        state["_zip_lock"] = None
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._tls = threading.local()
+        self._zip_handles = []
+        self._zip_lock = threading.Lock()
 
     def _load_raw_image(self, raw_idx: int) -> np.ndarray:
         import PIL.Image

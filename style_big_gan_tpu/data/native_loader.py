@@ -255,6 +255,15 @@ class NativeDataloader:
         self.prefetch = int(prefetch)
         self.window_size = float(window_size)
 
+    @staticmethod
+    def _index_spaces_match(reader: NativeZipReader, dataset) -> bool:
+        fnames = getattr(dataset, "_image_fnames", None)
+        if fnames is None or reader.num_images != len(fnames):
+            return False
+        n = len(fnames)
+        probe = sorted({0, n // 2, n - 1} | set(range(min(n, 8))))
+        return all(reader.image_name(i) == fnames[i] for i in probe)
+
     def __call__(self, dataset, batch_size: int, shard: int = 0,
                  num_shards: int = 1, seed: int = 0,
                  shuffle: bool = True) -> Iterator[Tuple[np.ndarray,
@@ -270,6 +279,18 @@ class NativeDataloader:
                 dataset, batch_size, shard=shard, num_shards=num_shards,
                 seed=seed, shuffle=shuffle)
         reader = NativeZipReader(path, channels=dataset.num_channels)
+        # The C++ reader indexes only lowercase .png/.jpg/.jpeg entries; the
+        # Python dataset also accepts .bmp/.webp and uppercase extensions.
+        # If the two index spaces diverge, raw indices would silently pair
+        # images with wrong labels/xflips — verify count + spot-check names
+        # and fall back to the pure-Python loader on any mismatch.
+        if not self._index_spaces_match(reader, dataset):
+            reader.close()
+            from style_big_gan_tpu.data.dataloader import BasicDataloader
+            return BasicDataloader(self.num_workers, self.prefetch,
+                                   self.window_size)(
+                dataset, batch_size, shard=shard, num_shards=num_shards,
+                seed=seed, shuffle=shuffle)
         trivial = (len(dataset) == reader.num_images and
                    not np.any(dataset._xflip))
         if trivial:

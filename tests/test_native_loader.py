@@ -71,6 +71,58 @@ def test_native_dataloader_with_labels(tiny_zip):
     assert np.all(labels.sum(axis=1) == 1.0)
 
 
+def test_native_dataloader_falls_back_on_index_mismatch(tmp_path):
+    """A zip with extensions only the Python dataset accepts (.bmp,
+    uppercase .PNG) diverges the native/Python index spaces — the loader
+    must detect it and fall back to the pure-Python path with correct
+    image/label pairing (ADVICE r1: silent wrong-label risk)."""
+    import io
+    import PIL.Image
+    path = tmp_path / "mixed.zip"
+    rnd = np.random.RandomState(1)
+    with zipfile.ZipFile(path, "w") as z:
+        labels = []
+        for i, ext in enumerate(["png", "bmp", "PNG", "png", "bmp", "png"]):
+            img = (rnd.rand(16, 16, 3) * 255).astype("uint8")
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, format=ext.upper()
+                                          if ext.lower() == "bmp" else "PNG")
+            fname = f"img{i:03d}.{ext}"
+            z.writestr(fname, buf.getvalue())
+            labels.append([fname, i % 2])
+        z.writestr("dataset.json", json.dumps({"labels": labels}))
+    from style_big_gan_tpu.registries import dataloaders
+    ds = ImageFolderDataset(path=str(path), use_labels=True)
+    loader = dataloaders["native"](num_workers=1, prefetch=1)
+    it = loader(ds, batch_size=4, shuffle=False)
+    # The fallback is the python BasicDataloader iterator, not a native one.
+    assert not isinstance(it, (native._NativePipelineIterator,
+                               native._NativeViewIterator))
+    imgs, lab = next(it)
+    assert imgs.shape == (4, 16, 16, 3) and lab.shape == (4, 2)
+    it.close()
+
+
+def test_dataset_close_releases_worker_handles(tiny_zip):
+    """close() must release zip handles opened by loader worker threads,
+    not only the calling thread's (ADVICE r1: fd leak)."""
+    import threading
+    ds = ImageFolderDataset(path=tiny_zip, use_labels=False)
+
+    def worker():
+        ds[0]   # opens a thread-local zip handle
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    ds[1]   # main-thread handle too
+    assert len(ds._zip_handles) >= 2
+    ds.close()
+    assert ds._zip_handles == []
+
+
 def test_native_dataloader_nontrivial_view(tiny_zip):
     from style_big_gan_tpu.registries import dataloaders
     ds = ImageFolderDataset(path=tiny_zip, use_labels=True, max_size=10,
