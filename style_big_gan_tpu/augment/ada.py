@@ -497,16 +497,20 @@ class AugmentPipe:
 
     def _lognormal(self, key, shape, std):
         if self.debug_percentile is not None:
-            from scipy.stats import norm
-            return jnp.full(shape, float(2 ** (norm.ppf(self.debug_percentile)
-                                               * std)), jnp.float32)
+            # Reference debug convention: exp2(erfinv(2q-1) * std) — erfinv
+            # WITHOUT the sqrt(2) of a true normal percentile
+            # (augmentations.py:233 etc.).
+            from scipy.special import erfinv
+            return jnp.full(shape, float(2 ** (
+                erfinv(2 * self.debug_percentile - 1) * std)), jnp.float32)
         return jnp.exp2(jax.random.normal(key, shape, jnp.float32) * std)
 
     def _normal(self, key, shape, std):
         if self.debug_percentile is not None:
-            from scipy.stats import norm
-            return jnp.full(shape, float(norm.ppf(self.debug_percentile) * std),
-                            jnp.float32)
+            # Reference debug convention: erfinv(2q-1) * std (no sqrt(2)).
+            from scipy.special import erfinv
+            return jnp.full(shape, float(
+                erfinv(2 * self.debug_percentile - 1) * std), jnp.float32)
         return jax.random.normal(key, shape, jnp.float32) * std
 
     def _gate(self, key, shape, prob):
@@ -571,6 +575,10 @@ class AugmentPipe:
                                       np.pi * self.rotate_max)
                 theta = jnp.where(self._gate(keys.pop(), (n,), p_rot),
                                   theta, 0.0)
+                if self.debug_percentile is not None:
+                    # Reference zeroes the POST-rotation in debug mode
+                    # (augmentations.py:257-258) so pre+post don't cancel.
+                    theta = jnp.zeros_like(theta)
                 G_inv = G_inv @ jax.vmap(rotate2d_inv)(-theta)
             if self.xfrac > 0:
                 t = self._normal(keys.pop(), (n, 2), self.xfrac_std)
@@ -625,7 +633,15 @@ class AugmentPipe:
 
         # ------------------------------------------------- noise and cutout
         if self.noise > 0:
-            sigma = jnp.abs(self._normal(keys.pop(), (n,), self.noise_std))
+            if self.debug_percentile is not None:
+                # Reference debug: sigma = erfinv(q) * std
+                # (augmentations.py:408-409), NOT |ppf(q)| * std.
+                from scipy.special import erfinv
+                sigma = jnp.full((n,), float(erfinv(self.debug_percentile)
+                                             * self.noise_std), jnp.float32)
+            else:
+                sigma = jnp.abs(self._normal(keys.pop(), (n,),
+                                             self.noise_std))
             sigma = jnp.where(self._gate(keys.pop(), (n,), self.noise * p),
                               sigma, 0.0)
             nz = jax.random.normal(keys.pop(), images.shape, jnp.float32)
@@ -759,19 +775,26 @@ class AugmentPipe:
         # Expected power spectrum: white in each band.
         expected = jnp.asarray([10, 1, 1, 1], jnp.float32) / 13.0
 
-        t = jnp.ones((n, num_bands), jnp.float32)
+        # Sequential per-band power normalization, accumulated
+        # multiplicatively — the reference's exact gain recipe
+        # (augmentations.py:385-394); a single joint normalization gives a
+        # DIFFERENT overall gain when several bands fire.
+        g = jnp.ones((n, num_bands), jnp.float32)
         tk = jax.random.split(k_t, num_bands)
         gk = jax.random.split(k_gate, num_bands)
+        ones = jnp.ones((n, num_bands), jnp.float32)
         for i, strength in enumerate(self.imgfilter_bands):
             ti = self._lognormal(tk[i], (n,), self.imgfilter_std)
             ti = jnp.where(self._gate(gk[i], (n,),
                                       self.imgfilter * p * strength), ti, 1.0)
-            t = t.at[:, i].set(ti)
-        # Normalize power.
-        t = t / jnp.sqrt(jnp.sum(expected[None] * jnp.square(t), axis=1,
-                                 keepdims=True))
+            if self.debug_percentile is not None and strength <= 0:
+                ti = jnp.ones_like(ti)   # reference: augmentations.py:387
+            t = ones.at[:, i].set(ti)
+            t = t / jnp.sqrt(jnp.sum(expected[None] * jnp.square(t), axis=1,
+                                     keepdims=True))
+            g = g * t
         # Per-image combined filter: [n, taps]
-        hz_prime = jnp.einsum("nb,bt->nt", t, self.hz_fbank)
+        hz_prime = jnp.einsum("nb,bt->nt", g, self.hz_fbank)
         taps = hz_prime.shape[1]
         pad = taps // 2
 

@@ -74,8 +74,9 @@ def test_brightness_shift():
     pipe = AugmentPipe(brightness=1, brightness_std=0.5, debug_percentile=0.9)
     x = rand_img()
     y = pipe(x, KEY, p=1.0)
-    from scipy.stats import norm
-    shift = norm.ppf(0.9) * 0.5
+    from scipy.special import erfinv
+    # Reference debug convention: erfinv(2q-1)*std (augmentations.py:320)
+    shift = erfinv(2 * 0.9 - 1) * 0.5
     np.testing.assert_allclose(np.asarray(y), np.asarray(x) + shift,
                                atol=1e-4)
 
@@ -84,8 +85,8 @@ def test_contrast_scale():
     pipe = AugmentPipe(contrast=1, contrast_std=0.5, debug_percentile=0.75)
     x = rand_img()
     y = pipe(x, KEY, p=1.0)
-    from scipy.stats import norm
-    scale = 2 ** (norm.ppf(0.75) * 0.5)
+    from scipy.special import erfinv
+    scale = 2 ** (erfinv(2 * 0.75 - 1) * 0.5)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x) * scale,
                                atol=1e-4)
 

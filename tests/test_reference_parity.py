@@ -156,6 +156,96 @@ def test_mapping_parity(ref_g):
     np.testing.assert_allclose(np.asarray(ws), ref_ws, rtol=1e-4, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# ADA pipe golden parity (VERDICT r1 task 5a).  debug_percentile pins every
+# random draw to the same deterministic value in both implementations
+# (reference: augmentations.py:185-431); the additive-noise op stays random
+# even in debug mode, so it is excluded.
+
+
+def _ref_augpipe(**spec):
+    from train_parts import augmentations as ref_aug
+    return ref_aug.AugmentPipe(**spec)
+
+
+def _smooth_images(n=2, res=32, c=3):
+    """Low-frequency test images: the geometric comparison tolerates the
+    documented sub-pixel alignment difference (docs/ada_warp.md), which on
+    white noise would alias into large per-pixel error."""
+    y, x = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res),
+                       indexing="ij")
+    imgs = []
+    rnd = np.random.RandomState(7)
+    for i in range(n):
+        a, b, ph = rnd.rand(3)
+        img = np.stack([np.sin(2 * np.pi * ((a + 1) * x + (b + 1) * y + ph
+                                            + 0.13 * k))
+                        for k in range(c)], axis=-1)
+        imgs.append(img)
+    return np.stack(imgs).astype(np.float32)   # NHWC in [-1, 1]
+
+
+def _run_both(spec, q, images_nhwc, **jax_kw):
+    from style_big_gan_tpu.augment.ada import AugmentPipe
+    ref = _ref_augpipe(**spec)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(
+            np.transpose(images_nhwc, (0, 3, 1, 2))),
+            debug_percentile=q).numpy()
+    ours = AugmentPipe(**spec, debug_percentile=q, **jax_kw)
+    out = ours(jnp.asarray(images_nhwc), jax.random.PRNGKey(0), p=1.0)
+    return np.transpose(np.asarray(out), (0, 3, 1, 2)), ref_out
+
+
+@pytest.mark.parametrize("q", [0.1, 0.35, 0.6, 0.9])
+def test_ada_color_parity_exact(q):
+    spec = dict(brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1)
+    ours, ref = _run_both(spec, q, _smooth_images())
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("q", [0.2, 0.5, 0.8])
+def test_ada_cutout_parity_exact(q):
+    ours, ref = _run_both(dict(cutout=1), q, _smooth_images())
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("q", [0.15, 0.5, 0.85])
+def test_ada_imgfilter_parity(q):
+    ours, ref = _run_both(dict(imgfilter=1), q, _smooth_images())
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("q", [0.3, 0.7])
+def test_ada_geometric_parity_within_tolerance(q):
+    """Full blit+geom chain.  Ours warps with exact sym6 group-delay
+    alignment where the reference uses nominal half-pixel bookkeeping
+    (docs/ada_warp.md) — agreement is sub-pixel, not bitwise; assert a
+    tight interior-pixel envelope on smooth images."""
+    spec = dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                xfrac=1)
+    ours, ref = _run_both(spec, q, _smooth_images(res=32),
+                          warp_impl="gather", warp_dtype="float32")
+    inner = (slice(None), slice(None), slice(4, -4), slice(4, -4))
+    err = np.abs(ours[inner] - ref[inner]).max()
+    assert err < 0.08, f"geom parity err {err}"
+
+
+@pytest.mark.parametrize("q", [0.3, 0.7])
+def test_ada_blit_parity(q):
+    """Blit-only ops (flip / rot90 / integer translate).  The residual is
+    the reference's own ~0.4px filter-delay drift (sym6 is only NEAR-
+    symmetric; ours aligns on the exact group delay, see
+    augment/ada.py::_execute_geom docstring) — the same envelope as the
+    general warp, measured ~0.05 on smooth images."""
+    ours, ref = _run_both(dict(xflip=1, rotate90=1, xint=1), q,
+                          _smooth_images(res=32),
+                          warp_impl="gather", warp_dtype="float32")
+    inner = (slice(None), slice(None), slice(4, -4), slice(4, -4))
+    err = np.abs(ours[inner] - ref[inner]).max()
+    assert err < 0.08, f"blit parity err {err}"
+
+
 def test_discriminator_forward_parity(ref_d):
     state = torch_state_to_numpy(ref_d)
     params = convert_sg2_discriminator(state)
