@@ -192,6 +192,83 @@ def convert_sg2_discriminator(state: Dict[str, np.ndarray]) -> Dict:
     return params
 
 
+def _l2n(v, eps=1e-12):
+    return v / np.sqrt(np.sum(np.square(v)) + eps)
+
+
+def convert_biggan_discriminator(state: Dict[str, np.ndarray]
+                                 ) -> Tuple[Dict, Dict]:
+    """BigGAN-style D state_dict (reference discriminators.py:732-842) ->
+    (params, spectral) trees matching models/biggan.BigGANDiscriminator.
+
+    Reference blocks are a doubly-nested ModuleList ``blocks.{i}.{j}`` where
+    j=0 is the DBlock and j=1 an optional Attention; here they are flat
+    ``block{i}`` / ``attn{i}``.  Spectral-norm u vectors map directly for
+    convs/linears (both index rows by output channel); the embedding stores
+    u in class space in the reference but feature space here (the weight is
+    transposed), so u crosses through one half power-iteration
+    ``u' = l2norm(u @ W)`` — singular-value estimates agree once iteration
+    has converged (exactly, for orthogonal init).
+    """
+    params: Dict[str, Any] = {}
+    spectral: Dict[str, Any] = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    def put_sn(module_path, u_rows):
+        put(spectral, module_path + ["sn", "u"], np.stack(u_rows))
+
+    # Collect u{k} buffers per module first (num_svs may be > 1).
+    u_bufs: Dict[str, list] = {}
+    for name, w in state.items():
+        parts = name.split(".")
+        if parts[-1].startswith("u") and parts[-1][1:].isdigit():
+            u_bufs.setdefault(".".join(parts[:-1]), []).append(
+                (int(parts[-1][1:]), np.asarray(w, np.float32).reshape(-1)))
+
+    for name, w in state.items():
+        parts = name.split(".")
+        last = parts[-1]
+        if last.startswith("sv") or (last.startswith("u")
+                                     and last[1:].isdigit()):
+            continue
+        if parts[0] == "blocks":
+            i, j = parts[1], int(parts[2])
+            mod = "block" + i if j == 0 else "attn" + i
+            if last == "gamma":
+                put(params, [mod, "gamma"], np.asarray(w).reshape(()))
+                continue
+            layer = parts[3]
+            if last == "weight":
+                put(params, [mod, layer, "kernel"], _t_conv(w))
+            elif last == "bias":
+                put(params, [mod, layer, "bias"], w)
+        elif parts[0] == "linear":
+            if last == "weight":
+                put(params, ["linear", "kernel"], _t_linear(w))
+            elif last == "bias":
+                put(params, ["linear", "bias"], w)
+        elif parts[0] == "embed" and last == "weight":
+            put(params, ["embed", "embedding"], w)
+
+    for mod_path, us in u_bufs.items():
+        us = [u for _, u in sorted(us)]
+        parts = mod_path.split(".")
+        if parts[0] == "blocks":
+            mod = ("block" if int(parts[2]) == 0 else "attn") + parts[1]
+            put_sn([mod, parts[3]], us)
+        elif parts[0] == "linear":
+            put_sn(["linear"], us)
+        elif parts[0] == "embed":
+            w_embed = np.asarray(state["embed.weight"], np.float32)
+            put_sn(["embed"], [_l2n(u @ w_embed) for u in us])
+    return params, spectral
+
+
 def import_generator_pickle(path: str, key: str = "G_ema"):
     """Load a reference pickle and return (init_kwargs, variables) for
     models/stylegan2.Generator."""

@@ -157,6 +157,129 @@ def test_mapping_parity(ref_g):
 
 
 # ---------------------------------------------------------------------------
+# SG2 parity above 32px: the up/down resample filter paths only activate
+# with deeper block stacks (VERDICT r1 task 5c).
+
+
+@pytest.mark.parametrize("res", [64, 128])
+def test_generator_forward_parity_highres(res):
+    cfg = dict(z_dim=16, w_dim=16, c_dim=0, img_resolution=res,
+               img_channels=3)
+    ch = dict(channel_base=2048, channel_max=32)
+    from train_parts import generators as ref_gen
+    from style_big_gan_tpu.utils.misc import EasyDict
+    torch.manual_seed(res)
+    ref = ref_gen.Generator(
+        **cfg, mapping_kwargs=EasyDict(num_layers=2),
+        synthesis_kwargs=EasyDict(**ch, num_fp16_res=0,
+                                  block_kwargs=EasyDict(
+                                      layer_kwargs=EasyDict()))).eval()
+    state = torch_state_to_numpy(ref)
+    params, moving, noise = convert_sg2_generator(state)
+    G = registries.generators["sg2_classic"](
+        **cfg, **ch, architecture="skip", mapping_kwargs={"num_layers": 2})
+    z_np = np.random.RandomState(res).randn(2, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref(torch.from_numpy(z_np), None,
+                      noise_mode="const").numpy()
+    img = G.apply({"params": params, "moving": moving, "noise": noise},
+                  jnp.asarray(z_np), None, noise_mode="const",
+                  rngs={"noise": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
+                               ref_img, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("res", [64, 128])
+def test_discriminator_forward_parity_highres(res):
+    cfg = dict(c_dim=0, img_resolution=res, img_channels=3)
+    ch = dict(channel_base=2048, channel_max=32)
+    from train_parts import discriminators as ref_disc
+    torch.manual_seed(res + 1)
+    ref = ref_disc.Discriminator(
+        **cfg, **ch, architecture="resnet", block_kwargs={},
+        epilogue_kwargs={"mbstd_group_size": 2,
+                         "mbstd_num_channels": 1}).eval()
+    params = convert_sg2_discriminator(torch_state_to_numpy(ref))
+    D = registries.discriminators["sg2_classic"](
+        **cfg, **ch, architecture="resnet",
+        epilogue_kwargs={"mbstd_group_size": 2, "mbstd_num_channels": 1})
+    x_np = np.random.RandomState(res).randn(2, 3, res, res).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np), None).numpy()
+    logits = D.apply({"params": params},
+                     jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))), None)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=5e-3,
+                               atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# BigGAN discriminator parity (VERDICT r1 task 5b).  Full-G parity is N/A
+# (this framework fixes the reference's broken shared-embed wiring,
+# models/biggan.py docstring); the D stack — SN convs, preactivation
+# resblocks, self-attention, projection head — is unchanged and converts.
+
+
+def test_biggan_discriminator_forward_parity():
+    from style_big_gan_tpu.tools.import_reference import \
+        convert_biggan_discriminator
+    try:
+        from train_parts import discriminators as ref_disc
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference biggan unavailable: {e}")
+    torch.manual_seed(5)
+    # 64px with D_attn='32': exercises attention after block 0.
+    ref = ref_disc.BigGanDiscriminator(
+        img_resolution=64, D_ch=8, n_classes=10, c_dim=10,
+        D_attn="32").eval()
+    params, spectral = convert_biggan_discriminator(
+        torch_state_to_numpy(ref))
+
+    D = registries.discriminators["big_gan"](
+        D_ch=8, c_dim=10, img_resolution=64, D_attn="32", n_classes=10)
+    x_np = np.random.RandomState(5).randn(4, 3, 64, 64).astype(np.float32)
+    c_np = np.eye(10, dtype=np.float32)[[0, 3, 7, 9]]
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np),
+                      torch.from_numpy(c_np)).numpy()
+    out = D.apply({"params": params, "spectral": spectral},
+                  jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))),
+                  jnp.asarray(c_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_biggan_dblock_parity():
+    """Single preactivation DBlock with downsample, eval mode."""
+    from biggan import layers as ref_layers
+    from style_big_gan_tpu.models.biggan import DBlock
+    from style_big_gan_tpu.tools.import_reference import (_l2n, _t_conv)
+    import functools
+    torch.manual_seed(6)
+    which_conv = functools.partial(ref_layers.SNConv2d, kernel_size=3,
+                                   padding=1)
+    ref = ref_layers.DBlock(
+        in_channels=8, out_channels=16, which_conv=which_conv, wide=True,
+        preactivation=True, activation=torch.nn.ReLU(inplace=False),
+        downsample=torch.nn.AvgPool2d(2)).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, spectral = {}, {}
+    for lyr in ("conv1", "conv2", "conv_sc"):
+        params[lyr] = {"kernel": _t_conv(state[f"{lyr}.weight"]),
+                       "bias": state[f"{lyr}.bias"]}
+        spectral[lyr] = {"sn": {"u": state[f"{lyr}.u0"].reshape(1, -1)}}
+    blk = DBlock(in_channels=8, out_channels=16, wide=True,
+                 preactivation=True, downsample=True)
+    x_np = np.random.RandomState(6).randn(2, 8, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np)).numpy()
+    out = blk.apply({"params": params, "spectral": spectral},
+                    jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))),
+                    update_stats=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref_out, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # ADA pipe golden parity (VERDICT r1 task 5a).  debug_percentile pins every
 # random draw to the same deterministic value in both implementations
 # (reference: augmentations.py:185-431); the additive-noise op stays random
