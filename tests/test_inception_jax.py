@@ -1,5 +1,7 @@
 """Native JAX FID-inception: structure, detector contract, converter."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -65,6 +67,40 @@ def test_param_count_matches_inception_v3(params):
     # torchvision InceptionV3 trunk + 1008-way fc with BN folded:
     # 21.8M conv/fc weights (BN stats fold away).
     assert 21_000_000 < n < 26_000_000, n
+
+
+_INCEPTION_PT = os.environ.get("SBG_INCEPTION_PT",
+                               "/root/weights/inception-2015-12-05.pt")
+
+
+@pytest.mark.skipif(not os.path.isfile(_INCEPTION_PT),
+                    reason="real inception weights not in this image; set "
+                           "SBG_INCEPTION_PT to run the golden parity check")
+def test_jax_port_matches_torchscript_golden():
+    """Golden numerics: the native flax port fed by converted weights must
+    match the NVlabs TorchScript detector on one batch (VERDICT r1 task 10;
+    the north-star 'FID within 5%' rests on this).  Runs iff a weights file
+    is present — see BASELINE.md 'Real-detector verification' for the full
+    recipe."""
+    import tempfile
+    from style_big_gan_tpu.metrics.inception import InceptionV3Detector
+    from style_big_gan_tpu.tools.convert_detector import main as convert_main
+    with tempfile.TemporaryDirectory() as td:
+        npz = f"{td}/inception.npz"
+        convert_main(["--kind", "inception", "--src", _INCEPTION_PT,
+                      "--out", npz])
+        jax_det = InceptionV3JaxDetector(npz)
+        ts_det = InceptionV3Detector(_INCEPTION_PT)
+        imgs = (np.random.RandomState(0).rand(8, 299, 299, 3) * 255
+                ).astype(np.uint8)
+        f_jax = jax_det(imgs)
+        f_ts = ts_det(imgs)
+        # cosine similarity per item > 0.999 and small relative L2
+        for a, b in zip(f_jax, f_ts):
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.999, cos
+        rel = np.linalg.norm(f_jax - f_ts) / np.linalg.norm(f_ts)
+        assert rel < 0.01, rel
 
 
 def test_converter_folds_bn(tmp_path):
