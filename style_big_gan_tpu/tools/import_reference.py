@@ -269,9 +269,238 @@ def convert_biggan_discriminator(state: Dict[str, np.ndarray]
     return params, spectral
 
 
+# ---------------------------------------------------------------------------
+# TF-legacy pickles (reference: stylegan2ada/legacy.py:20-297).
+
+
+class _TFNetworkStub(dict):
+    """Stands in for dnnlib.tflib.network.Network during unpickling; the TF
+    pickle's state dict (version/static_kwargs/components/variables) lands
+    here as plain dict entries."""
+
+    def __setstate__(self, state):
+        self.update(state if isinstance(state, dict) else {})
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def load_tf_network_pkl(path: str):
+    """Open a legacy TF pickle -> (G, D, Gs) _TFNetworkStub tuple, or None
+    if the pickle is not TF-legacy (reference: legacy.py:20-71)."""
+
+    class _TFUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "dnnlib.tflib.network" and name == "Network":
+                return _TFNetworkStub
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _Stub
+
+    with open(path, "rb") as f:
+        data = _TFUnpickler(f).load()
+    if (isinstance(data, tuple) and len(data) == 3
+            and all(isinstance(n, _TFNetworkStub) for n in data)):
+        return data
+    return None
+
+
+def _collect_tf_params(tf_net) -> Dict[str, np.ndarray]:
+    """reference: legacy.py:75-86."""
+    out: Dict[str, np.ndarray] = {}
+
+    def recurse(prefix, net):
+        for name, value in net.get("variables", []):
+            out[prefix + name] = np.asarray(value)
+        for name, comp in net.get("components", {}).items():
+            recurse(prefix + name + "/", comp)
+
+    recurse("", tf_net)
+    return out
+
+
+def convert_tf_generator(tf_G) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """TF-legacy G -> (init_kwargs, variables) for models/stylegan2.Generator
+    (reference: legacy.py:109-204).  TF stores conv weights HWIO — this
+    framework's native layout — so only the up-conv spatial flip and the
+    dense [in, out] layout survive of the reference's transposes; mod_bias
+    keeps the reference's +1 shift."""
+    if int(tf_G.get("version", 0)) < 4:
+        raise ValueError("TensorFlow pickle version too low")
+    kw = dict(tf_G.get("static_kwargs", {}))
+
+    def g(name, default=None, none=None):
+        v = kw.get(name, default)
+        return v if v is not None else none
+
+    init_kwargs = dict(
+        z_dim=g("latent_size", 512), c_dim=g("label_size", 0),
+        w_dim=g("dlatent_size", 512), img_resolution=g("resolution", 1024),
+        img_channels=g("num_channels", 3),
+        channel_base=g("fmap_base", 16384) * 2,
+        channel_max=g("fmap_max", 512),
+        num_fp16_res=g("num_fp16_res", 0), conv_clamp=g("conv_clamp", None),
+        architecture=g("architecture", "skip"),
+        mapping_kwargs=dict(num_layers=g("mapping_layers", 8),
+                            lr_multiplier=g("mapping_lrmul", 0.01),
+                            w_avg_beta=g("w_avg_beta", 0.995, none=1.0)),
+    )
+    tf_params = _collect_tf_params(tf_G)
+
+    params: Dict[str, Any] = {"mapping": {}, "synthesis": {}}
+    moving = {"mapping": {"w_avg": np.asarray(
+        tf_params["dlatent_avg"], np.float32)}}
+    noise: Dict[str, Any] = {"synthesis": {}}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    nl = int(init_kwargs["mapping_kwargs"]["num_layers"])
+    for i in range(nl):
+        put(params, ["mapping", f"fc{i}", "weight"],
+            tf_params[f"mapping/Dense{i}/weight"])        # [in, out] kept
+        put(params, ["mapping", f"fc{i}", "bias"],
+            tf_params[f"mapping/Dense{i}/bias"])
+    if "mapping/LabelEmbed/weight" in tf_params:
+        put(params, ["mapping", "embed", "weight"],
+            tf_params["mapping/LabelEmbed/weight"])
+        put(params, ["mapping", "embed", "bias"],
+            tf_params["mapping/LabelEmbed/bias"])
+
+    res = int(init_kwargs["img_resolution"])
+    put(params, ["synthesis", "b4", "const"],
+        np.transpose(tf_params["synthesis/4x4/Const/const"][0], (1, 2, 0)))
+
+    def conv_layer(block, layer, tf_name, noise_idx, flip=False):
+        w = tf_params[f"synthesis/{tf_name}/weight"]
+        if flip:
+            w = w[::-1, ::-1]
+        base = ["synthesis", block, layer]
+        put(params, base + ["weight"], w)                 # HWIO already
+        put(params, base + ["bias"], tf_params[f"synthesis/{tf_name}/bias"])
+        put(params, base + ["affine", "weight"],
+            tf_params[f"synthesis/{tf_name}/mod_weight"])
+        put(params, base + ["affine", "bias"],
+            tf_params[f"synthesis/{tf_name}/mod_bias"] + 1.0)
+        if noise_idx is not None:
+            put(params, base + ["noise_strength"], np.asarray(
+                tf_params[f"synthesis/{tf_name}/noise_strength"]).reshape(()))
+            put(noise, ["synthesis", block, layer, "noise_const"],
+                tf_params[f"synthesis/noise{noise_idx}"][0, 0][..., None])
+
+    conv_layer("b4", "conv1", "4x4/Conv", 0)
+    put(params, ["synthesis", "b4", "torgb", "weight"],
+        tf_params["synthesis/4x4/ToRGB/weight"])
+    put(params, ["synthesis", "b4", "torgb", "bias"],
+        tf_params["synthesis/4x4/ToRGB/bias"])
+    put(params, ["synthesis", "b4", "torgb", "affine", "weight"],
+        tf_params["synthesis/4x4/ToRGB/mod_weight"])
+    put(params, ["synthesis", "b4", "torgb", "affine", "bias"],
+        tf_params["synthesis/4x4/ToRGB/mod_bias"] + 1.0)
+
+    r = 8
+    while r <= res:
+        b = f"b{r}"
+        lg = int(np.log2(r))
+        conv_layer(b, "conv0", f"{r}x{r}/Conv0_up", lg * 2 - 5, flip=True)
+        conv_layer(b, "conv1", f"{r}x{r}/Conv1", lg * 2 - 4)
+        put(params, ["synthesis", b, "torgb", "weight"],
+            tf_params[f"synthesis/{r}x{r}/ToRGB/weight"])
+        put(params, ["synthesis", b, "torgb", "bias"],
+            tf_params[f"synthesis/{r}x{r}/ToRGB/bias"])
+        put(params, ["synthesis", b, "torgb", "affine", "weight"],
+            tf_params[f"synthesis/{r}x{r}/ToRGB/mod_weight"])
+        put(params, ["synthesis", b, "torgb", "affine", "bias"],
+            tf_params[f"synthesis/{r}x{r}/ToRGB/mod_bias"] + 1.0)
+        if f"synthesis/{r}x{r}/Skip/weight" in tf_params:
+            put(params, ["synthesis", b, "skip", "weight"],
+                tf_params[f"synthesis/{r}x{r}/Skip/weight"][::-1, ::-1])
+        r *= 2
+    return init_kwargs, {"params": params, "moving": moving, "noise": noise}
+
+
+def convert_tf_discriminator(tf_D) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """TF-legacy D -> (init_kwargs, variables) for
+    models/stylegan2.Discriminator (reference: legacy.py:207-274)."""
+    if int(tf_D.get("version", 0)) < 4:
+        raise ValueError("TensorFlow pickle version too low")
+    kw = dict(tf_D.get("static_kwargs", {}))
+
+    def g(name, default=None):
+        return kw.get(name, default)
+
+    init_kwargs = dict(
+        c_dim=g("label_size", 0), img_resolution=g("resolution", 1024),
+        img_channels=g("num_channels", 3),
+        architecture=g("architecture", "resnet"),
+        channel_base=g("fmap_base", 16384) * 2,
+        channel_max=g("fmap_max", 512),
+        num_fp16_res=g("num_fp16_res", 0), conv_clamp=g("conv_clamp", None),
+        epilogue_kwargs=dict(mbstd_group_size=g("mbstd_group_size", None),
+                             mbstd_num_channels=g("mbstd_num_features", 1)),
+    )
+    tf_params = _collect_tf_params(tf_D)
+    res = int(init_kwargs["img_resolution"])
+
+    params: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    r = res
+    while r >= 8:
+        b = f"b{r}"
+        if f"{r}x{r}/FromRGB/weight" in tf_params:
+            put([b, "fromrgb", "weight"], tf_params[f"{r}x{r}/FromRGB/weight"])
+            put([b, "fromrgb", "bias"], tf_params[f"{r}x{r}/FromRGB/bias"])
+        put([b, "conv0", "weight"], tf_params[f"{r}x{r}/Conv0/weight"])
+        put([b, "conv0", "bias"], tf_params[f"{r}x{r}/Conv0/bias"])
+        put([b, "conv1", "weight"], tf_params[f"{r}x{r}/Conv1_down/weight"])
+        put([b, "conv1", "bias"], tf_params[f"{r}x{r}/Conv1_down/bias"])
+        if f"{r}x{r}/Skip/weight" in tf_params:
+            put([b, "skip", "weight"], tf_params[f"{r}x{r}/Skip/weight"])
+        r //= 2
+    put(["b4", "conv", "weight"], tf_params["4x4/Conv/weight"])
+    put(["b4", "conv", "bias"], tf_params["4x4/Conv/bias"])
+    # TF flattens CHW before Dense0; this framework flattens HWC.
+    w = np.asarray(tf_params["4x4/Dense0/weight"])        # [in, out]
+    in_f, out_f = w.shape
+    c = in_f // 16
+    put(["b4", "fc", "weight"],
+        np.transpose(w.reshape(c, 4, 4, out_f), (1, 2, 0, 3)).reshape(
+            in_f, out_f))
+    put(["b4", "fc", "bias"], tf_params["4x4/Dense0/bias"])
+    put(["b4", "out", "weight"], tf_params["Output/weight"])
+    put(["b4", "out", "bias"], tf_params["Output/bias"])
+    if "LabelEmbed/weight" in tf_params:
+        put(["mapping", "embed", "weight"], tf_params["LabelEmbed/weight"])
+        put(["mapping", "embed", "bias"], tf_params["LabelEmbed/bias"])
+    i = 0
+    while f"Mapping{i}/weight" in tf_params:
+        put(["mapping", f"fc{i}", "weight"], tf_params[f"Mapping{i}/weight"])
+        put(["mapping", f"fc{i}", "bias"], tf_params[f"Mapping{i}/bias"])
+        i += 1
+    return init_kwargs, {"params": params}
+
+
 def import_generator_pickle(path: str, key: str = "G_ema"):
-    """Load a reference pickle and return (init_kwargs, variables) for
-    models/stylegan2.Generator."""
+    """Load a reference pickle (torch-persistence OR TF-legacy) and return
+    (init_kwargs, variables) for models/stylegan2.Generator."""
+    tf_nets = load_tf_network_pkl(path)
+    if tf_nets is not None:
+        tf_G, _tf_D, tf_Gs = tf_nets
+        return convert_tf_generator(tf_Gs if key in ("G_ema", "Gs")
+                                    else tf_G)
     data = load_reference_pickle(path)
     meta = data[key]
     if isinstance(meta, dict) and "init_kwargs" in meta.get("state", {}):

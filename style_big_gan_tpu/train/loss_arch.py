@@ -232,6 +232,67 @@ class SG2LossArch(LossArchBase):
                            rngs={"noise": k_noise})
         return img, state
 
+    # ------------------------------------------------------------- fused Dmain
+
+    def _mbstd_group_size(self) -> Optional[int]:
+        return (getattr(self.D, "epilogue_kwargs", None) or {}).get(
+            "mbstd_group_size", 4)
+
+    def _mbstd_concat_exact(self, half: int) -> bool:
+        """True iff a fused D(fake ∪ real) can reproduce the separate
+        D(fake), D(real) exactly.
+
+        The SG2 D's only batch-coupled op is the minibatch-stddev layer.
+        Its groups are STRIDED — ``x.reshape(G, n//G, ...)`` reduced over
+        axis 0, so group column k holds images {a*(n//G) + k}
+        (models/layers.py:187-190, reference discriminators.py:319-321).
+        Interleaving fake/real in chunks of ``half//G`` keeps every fused
+        column purely fake or purely real AND equal to a separate-pass
+        column; requires G | half."""
+        gs = self._mbstd_group_size()
+        return gs is not None and gs <= half and half % gs == 0
+
+    def d_main(self, params_d, d_state, gen_img, real_img, real_c,
+               gen_c, rng, aug_p):
+        """Dmain with fake+real fused into ONE ADA pass + ONE D forward.
+
+        The reference runs D(fake) and D(real) separately
+        (losses_base.py:65-81); with no BN in the SG2 D and the mbstd
+        chunk-interleave (see _mbstd_concat_exact) the fused batch is
+        numerically identical while halving ADA/D dispatches and doubling
+        the matmul batch on the MXU."""
+        half = int(gen_img.shape[0])
+        if half != int(real_img.shape[0]) or not self._mbstd_concat_exact(half):
+            return super().d_main(params_d, d_state, gen_img, real_img,
+                                  real_c, gen_c, rng, aug_p)
+        gen_img = jax.lax.stop_gradient(gen_img)
+        d_vars = merge_vars(params_d, d_state)
+        m = half // self._mbstd_group_size()     # interleave chunk
+
+        def ilv(a, b):
+            if a.size == 0:                    # c_dim == 0 labels
+                return jnp.concatenate([a, b], axis=0)
+            ab = jnp.concatenate([a.reshape(-1, m, *a.shape[1:]),
+                                  b.reshape(-1, m, *b.shape[1:])], axis=1)
+            return ab.reshape(2 * half, *a.shape[1:])
+
+        both = ilv(gen_img.astype(real_img.dtype), real_img)
+        c_both = ilv(gen_c, real_c)
+        logits, new_d_state = self.run_D(d_vars, both, c_both, rng, aug_p,
+                                         update_stats=True)
+        lg = logits.reshape(-1, 2 * m, *logits.shape[1:])
+        gen_logits = lg[:, :m].reshape(half, *logits.shape[1:])
+        real_logits = lg[:, m:].reshape(half, *logits.shape[1:])
+        loss_D = self.loss.calc_loss(real_logits, gen_logits)
+        stats = {
+            "Loss/scores/fake": jnp.mean(gen_logits),
+            "Loss/signs/fake": jnp.mean(jnp.sign(gen_logits)),
+            "Loss/scores/real": jnp.mean(real_logits),
+            "Loss/signs/real": jnp.mean(jnp.sign(real_logits)),
+            "Loss/D/loss": loss_D,
+        }
+        return loss_D, (stats, {"d_state": new_d_state})
+
     def run_G_ws(self, g_vars, z, c, rng):
         """(img, ws) for PPL (reference: losses_base.py:143-153)."""
         ws, _, k_noise = self._mixed_ws(g_vars, z, c, rng, update_emas=False)

@@ -213,6 +213,193 @@ def test_discriminator_forward_parity_highres(res):
 
 
 # ---------------------------------------------------------------------------
+# TF-legacy import (reference: stylegan2ada/legacy.py:109-297).  No TF
+# pickles exist in this environment, so the test SYNTHESIZES one: the
+# reference torch G/D state is inverse-mapped to the TF variable naming +
+# layouts, wrapped in the legacy pickle structure, and pushed through
+# load_tf_network_pkl + convert_tf_* — forward parity against the torch
+# net closes the loop.
+
+
+def _torch_g_to_tf_vars(ref_g):
+    """Inverse of legacy.py:172-202: torch G state -> TF variables dict."""
+    sd = {k: v.detach().numpy() for k, v in ref_g.state_dict().items()}
+    g_vars, m_vars, s_vars = [], [], []
+    m_vars += [(f"Dense{i}/weight", sd[f"mapping.fc{i}.weight"].T)
+               for i in range(2)]
+    m_vars += [(f"Dense{i}/bias", sd[f"mapping.fc{i}.bias"])
+               for i in range(2)]
+    g_vars.append(("dlatent_avg", sd["mapping.w_avg"]))
+
+    def t_conv(w, flip=False):
+        w = np.transpose(w, (2, 3, 1, 0))   # OIHW -> HWIO
+        return w[::-1, ::-1] if flip else w
+
+    s_vars.append(("4x4/Const/const", sd["synthesis.b4.const"][None]))
+    res = int(ref_g.img_resolution)
+    for r in [4] + [2 ** k for k in range(3, int(np.log2(res)) + 1)]:
+        b = f"synthesis.b{r}"
+        tfb = f"{r}x{r}"
+        layers = [("conv1", "Conv", 0)] if r == 4 else \
+            [("conv0", "Conv0_up", 2 * int(np.log2(r)) - 5),
+             ("conv1", "Conv1", 2 * int(np.log2(r)) - 4)]
+        for ours, tfn, nidx in layers:
+            flip = tfn.endswith("_up")
+            s_vars.append((f"{tfb}/{tfn}/weight",
+                           t_conv(sd[f"{b}.{ours}.weight"], flip)))
+            s_vars.append((f"{tfb}/{tfn}/bias", sd[f"{b}.{ours}.bias"]))
+            s_vars.append((f"{tfb}/{tfn}/noise_strength",
+                           sd[f"{b}.{ours}.noise_strength"]))
+            s_vars.append((f"{tfb}/{tfn}/mod_weight",
+                           sd[f"{b}.{ours}.affine.weight"].T))
+            s_vars.append((f"{tfb}/{tfn}/mod_bias",
+                           sd[f"{b}.{ours}.affine.bias"] - 1.0))
+            s_vars.append((f"noise{nidx}",
+                           sd[f"{b}.{ours}.noise_const"][None, None]))
+        s_vars.append((f"{tfb}/ToRGB/weight", t_conv(sd[f"{b}.torgb.weight"])))
+        s_vars.append((f"{tfb}/ToRGB/bias", sd[f"{b}.torgb.bias"]))
+        s_vars.append((f"{tfb}/ToRGB/mod_weight",
+                       sd[f"{b}.torgb.affine.weight"].T))
+        s_vars.append((f"{tfb}/ToRGB/mod_bias",
+                       sd[f"{b}.torgb.affine.bias"] - 1.0))
+        if f"{b}.skip.weight" in sd:
+            s_vars.append((f"{tfb}/Skip/weight",
+                           t_conv(sd[f"{b}.skip.weight"], flip=True)))
+    return g_vars, m_vars, s_vars
+
+
+def test_tf_legacy_generator_import(ref_g, tmp_path):
+    import pickle as pkl
+    import sys
+    import types
+    from style_big_gan_tpu.tools.import_reference import (
+        convert_tf_generator, load_tf_network_pkl)
+
+    g_vars, m_vars, s_vars = _torch_g_to_tf_vars(ref_g)
+    static_kwargs = dict(latent_size=32, dlatent_size=32, label_size=0,
+                         resolution=32, num_channels=3, fmap_base=512,
+                         fmap_max=64, mapping_layers=2)
+
+    # Fabricate a genuine legacy pickle: register a fake
+    # dnnlib.tflib.network.Network class so pickle writes the same GLOBAL +
+    # NEWOBJ + BUILD opcodes a real TF pickle has, then REMOVE the fake
+    # modules before loading — load_tf_network_pkl's find_class remapping
+    # is what gets exercised.
+    state = dict(version=4, static_kwargs=static_kwargs,
+                 variables=g_vars,
+                 components={"mapping": dict(variables=m_vars,
+                                             components={}),
+                             "synthesis": dict(variables=s_vars,
+                                               components={})})
+
+    class Network:  # stands in for dnnlib.tflib.network.Network
+        pass
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    fake_mods = {"dnnlib.tflib.network": types.ModuleType(
+        "dnnlib.tflib.network")}
+    fake_mods["dnnlib.tflib.network"].Network = Network
+    saved = {k: sys.modules.get(k) for k in fake_mods}
+    sys.modules.update(fake_mods)
+    try:
+        def make_net():
+            n = Network()
+            n.__dict__.update(state)
+            return n
+
+        path = str(tmp_path / "legacy.pkl")
+        with open(path, "wb") as f:
+            pkl.dump((make_net(), make_net(), make_net()), f)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    nets = load_tf_network_pkl(path)
+    assert nets is not None
+    init_kwargs, variables = convert_tf_generator(nets[2])
+    assert init_kwargs["img_resolution"] == 32
+    assert init_kwargs["channel_base"] == 1024
+
+    G = registries.generators["sg2_classic"](
+        z_dim=init_kwargs["z_dim"], w_dim=init_kwargs["w_dim"],
+        c_dim=init_kwargs["c_dim"],
+        img_resolution=init_kwargs["img_resolution"],
+        img_channels=init_kwargs["img_channels"],
+        channel_base=init_kwargs["channel_base"],
+        channel_max=init_kwargs["channel_max"],
+        architecture=init_kwargs["architecture"],
+        mapping_kwargs=init_kwargs["mapping_kwargs"])
+    z_np = np.random.RandomState(3).randn(2, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref_g(torch.from_numpy(z_np), None,
+                        noise_mode="const").numpy()
+    img = G.apply(jax.tree_util.tree_map(jnp.asarray, variables),
+                  jnp.asarray(z_np), None, noise_mode="const",
+                  rngs={"noise": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
+                               ref_img, rtol=2e-3, atol=2e-3)
+
+
+def test_tf_legacy_discriminator_import(ref_d):
+    from style_big_gan_tpu.tools.import_reference import \
+        convert_tf_discriminator
+    sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+
+    def t_conv(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    variables = []
+    res = 32
+    r = res
+    while r >= 8:
+        b = f"b{r}"
+        variables += [(f"{r}x{r}/FromRGB/weight",
+                       t_conv(sd[f"{b}.fromrgb.weight"])),
+                      (f"{r}x{r}/FromRGB/bias", sd[f"{b}.fromrgb.bias"])] \
+            if f"{b}.fromrgb.weight" in sd else []
+        variables += [
+            (f"{r}x{r}/Conv0/weight", t_conv(sd[f"{b}.conv0.weight"])),
+            (f"{r}x{r}/Conv0/bias", sd[f"{b}.conv0.bias"]),
+            (f"{r}x{r}/Conv1_down/weight", t_conv(sd[f"{b}.conv1.weight"])),
+            (f"{r}x{r}/Conv1_down/bias", sd[f"{b}.conv1.bias"]),
+        ]
+        if f"{b}.skip.weight" in sd:
+            variables.append((f"{r}x{r}/Skip/weight",
+                              t_conv(sd[f"{b}.skip.weight"])))
+        r //= 2
+    variables += [
+        ("4x4/Conv/weight", t_conv(sd["b4.conv.weight"])),
+        ("4x4/Conv/bias", sd["b4.conv.bias"]),
+        ("4x4/Dense0/weight", sd["b4.fc.weight"].T),
+        ("4x4/Dense0/bias", sd["b4.fc.bias"]),
+        ("Output/weight", sd["b4.out.weight"].T),
+        ("Output/bias", sd["b4.out.bias"]),
+    ]
+    tf_d = {"version": 4, "variables": variables, "components": {},
+            "static_kwargs": dict(label_size=0, resolution=32,
+                                  num_channels=3, architecture="resnet",
+                                  fmap_base=512, fmap_max=64,
+                                  mbstd_group_size=2)}
+    init_kwargs, d_variables = convert_tf_discriminator(tf_d)
+    D = registries.discriminators["sg2_classic"](
+        c_dim=0, img_resolution=32, img_channels=3,
+        channel_base=init_kwargs["channel_base"],
+        channel_max=init_kwargs["channel_max"], architecture="resnet",
+        epilogue_kwargs={"mbstd_group_size": 2, "mbstd_num_channels": 1})
+    x_np = np.random.RandomState(4).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref_d(torch.from_numpy(x_np), None).numpy()
+    logits = D.apply(jax.tree_util.tree_map(jnp.asarray, d_variables),
+                     jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))), None)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3,
+                               atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
 # BigGAN discriminator parity (VERDICT r1 task 5b).  Full-G parity is N/A
 # (this framework fixes the reference's broken shared-embed wiring,
 # models/biggan.py docstring); the D stack — SN convs, preactivation

@@ -222,6 +222,58 @@ def test_sg2_loss_arch_style_mixing():
     assert not np.allclose(ws[:, 0], ws[:, -1])
 
 
+def test_sg2_fused_dmain_matches_split():
+    """SG2LossArch.d_main fuses fake+real into one ADA pass + one D forward
+    with an mbstd-aligned chunk interleave; it must match the base split
+    path bit-for-bit in loss and to float precision in grads."""
+    from style_big_gan_tpu.augment.ada import AUGPIPE_SPECS, AugmentPipe
+    from style_big_gan_tpu.train.loss_arch import LossArchBase, split_vars
+
+    G = registries.generators["sg2_classic"](
+        z_dim=16, w_dim=16, img_resolution=32, channel_base=1024,
+        channel_max=32, mapping_kwargs={"num_layers": 1})
+    D = registries.discriminators["sg2_classic"](
+        c_dim=0, img_resolution=32, channel_base=1024, channel_max=32,
+        epilogue_kwargs={"mbstd_group_size": 4, "mbstd_num_channels": 1})
+    arch = registries.losses_arch["sg2"](style_mixing_prob=0.0)
+    arch.initialize(G, D, registries.losses["softplus"](), [], [],
+                    AugmentPipe(**AUGPIPE_SPECS["bgc"],
+                                warp_dtype="float32"))
+    z = jnp.zeros((8, 16))
+    img0 = jnp.zeros((8, 32, 32, 3))
+    gv = G.init({"params": jax.random.PRNGKey(0),
+                 "noise": jax.random.PRNGKey(1)}, z, None)
+    dv = D.init({"params": jax.random.PRNGKey(2)}, img0, None)
+    _, gs = split_vars(gv)
+    pd, ds = split_vars(dv)
+    rnd = np.random.RandomState(0)
+    fake = jnp.asarray(rnd.randn(8, 32, 32, 3), jnp.float32)
+    real = jnp.asarray(rnd.randn(8, 32, 32, 3), jnp.float32)
+    c = jnp.zeros((8, 0), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    p = jnp.float32(0.0)    # ADA deterministic at p=0: exact comparison
+
+    loss_f, (stats_f, _) = arch.d_main(pd, ds, fake, real, c, c, key, p)
+    loss_s, (stats_s, _) = LossArchBase.d_main(arch, pd, ds, fake, real,
+                                               c, c, key, p)
+    np.testing.assert_allclose(float(loss_f), float(loss_s), rtol=1e-5)
+    for k in stats_f:
+        np.testing.assert_allclose(np.asarray(stats_f[k]),
+                                   np.asarray(stats_s[k]), rtol=1e-4,
+                                   atol=1e-6)
+    gf = jax.grad(lambda q: arch.d_main(q, ds, fake, real, c, c, key,
+                                        p)[0])(pd)
+    gsx = jax.grad(lambda q: LossArchBase.d_main(arch, q, ds, fake, real,
+                                                 c, c, key, p)[0])(pd)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gsx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=5e-6)
+    # Gating: tiny/non-dividing batches must fall back to the split path.
+    assert not arch._mbstd_concat_exact(2)
+    assert arch._mbstd_concat_exact(4) and arch._mbstd_concat_exact(8)
+
+
 def test_ada_controller():
     c = AdaController(target=0.6, interval=4, kimg=500, batch_size=64)
     for _ in range(4):
