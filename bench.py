@@ -70,28 +70,42 @@ def build():
     opt = optax.adam(2.5e-3, b1=0.0, b2=0.99)
     state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds, opt,
                                opt, gen_regs=arch.gen_regs, ada_p=0.3)
+    # cycle_g_reg_tail stays off: fusing the PPL vjp-of-vjp into the cycle
+    # program trips the axon backend's program-size ceiling at 256px
+    # (INVALID_ARGUMENT at run time); Greg is its own dispatch instead.
+    # donate=False: donating reg programs chained with the scanned cycle
+    # program also fail with INVALID_ARGUMENT on this backend (probed:
+    # donation off costs no measurable throughput here).
     steps = StepBuilder(arch, opt, opt, z_dim=512, num_accum_rounds=1,
-                        g_reg_gain=4.0, d_reg_gain=16.0, donate=True)
+                        g_reg_gain=4.0, d_reg_gain=16.0, donate=False)
     return jax, steps, state
 
 
 def main():
     jax, steps, state = build()
+    import jax.numpy as jnp
     rnd = np.random.RandomState(0)
-    real = jax.numpy.asarray(rnd.randn(BATCH, RES, RES, 3).astype(np.float32))
-    c = jax.numpy.zeros((BATCH, 0), np.float32)
+    # One lazy-reg sub-cycle (4 batches: 4x Dmain+Gmain + 1 Greg) dispatched
+    # as ONE program (StepBuilder.cycle_step): ~16% of the per-iteration
+    # wall time is axon-tunnel dispatch latency otherwise
+    # (benchmarks/bench_decomp.py).  Dreg (R1, every 16) stays its own
+    # dispatch.
+    K = 4
+    reals = jnp.asarray(rnd.randn(K, BATCH, RES, RES, 3).astype(np.float32))
+    cs = jnp.zeros((K, BATCH, 0), np.float32)
+    betas = jnp.full((K,), 0.998, jnp.float32)
+    real1 = reals[0]
+    c1 = cs[0]
 
     def one_cycle(state):
         imgs = 0
         stats = None
-        for i in range(CYCLE):
-            state, stats = steps.d_step(state, real, c, c)
+        for i in range(0, CYCLE, K):
             if i % 16 == 0:
-                state, _ = steps.d_reg_step(state, real, c, c)
-            state, _ = steps.g_step(state, c, 0.998)
-            if i % 4 == 0:
-                state, _ = steps.g_reg_step(state, c)
-            imgs += BATCH
+                state, _ = steps.d_reg_step(state, real1, c1, c1)
+            state, stats, _ = steps.cycle_step(state, reals, cs, cs, betas)
+            state, _ = steps.g_reg_step(state, c1)
+            imgs += BATCH * K
         return state, imgs, stats
 
     def sync(state):

@@ -97,6 +97,13 @@ class PerfArgs:
     #  donation at runtime; flip on for memory savings on standard backends)
     remat: bool = False          # jax.checkpoint the synthesis blocks
     trace_dir: str = ""          # capture a jax.profiler trace (batches 10-20)
+    # Batches per dispatch: >1 scans [Dmain+Gmain] for k batches inside ONE
+    # TPU program (MaxText-style steps-per-loop), removing per-dispatch
+    # tunnel latency (~16% of the 256px iteration).  Requires n_dis == 1;
+    # lazy regs fire per schedule as separate dispatches (Greg fuses into
+    # the cycle tail when g_reg_interval == k).  Ignored (with a warning)
+    # when the schedule is incompatible.
+    steps_per_dispatch: int = 1
 
 
 @args.add_to_registry("ema")

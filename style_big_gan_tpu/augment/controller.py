@@ -29,8 +29,14 @@ class AdaController:
         if not self._signs:
             return None
         mean_sign = float(np.mean(self._signs))
+        # Scale by the number of batches actually observed since the last
+        # adjustment: equals `interval` in per-batch dispatch mode (the
+        # reference's batch*interval), and keeps the same p-ramp *rate* when
+        # the trainer dispatches several batches per program
+        # (perf.steps_per_dispatch) and adjusts at window granularity.
+        n_batches = len(self._signs)
         self._signs = []
         direction = np.sign(mean_sign - self.target)
-        step = direction * (self.batch_size * self.interval) / \
+        step = direction * (self.batch_size * n_batches) / \
             (self.kimg * 1000.0)
         return float(max(current_p + step, 0.0))

@@ -49,6 +49,17 @@ def shard_batch(mesh: Mesh, batch: Any, data_axis: str = "data") -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch: Any, data_axis: str = "data"
+                        ) -> Any:
+    """Like shard_batch for [k, batch, ...] stacks (steps-per-dispatch
+    cycles): axis 0 is the scan axis, axis 1 the sharded batch."""
+    def put(x):
+        nd = np.ndim(x)
+        spec = P(None, data_axis, *([None] * (nd - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

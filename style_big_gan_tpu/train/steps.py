@@ -47,7 +47,7 @@ class StepBuilder:
                  num_accum_rounds: int = 1, g_reg_gain: float = 1.0,
                  d_reg_gain: float = 1.0, fuse_g_reg: bool = False,
                  fuse_d_reg: bool = False, donate: bool = False,
-                 data_sharding=None):
+                 data_sharding=None, cycle_g_reg_tail: bool = False):
         self.arch = arch
         self.opt_g_tx = opt_g_tx
         self.opt_d_tx = opt_d_tx
@@ -76,6 +76,20 @@ class StepBuilder:
         self._rollout_jit = jax.jit(self._rollout)
         self._d_update_jit = jax.jit(self._d_update, **donate_kw)
         self._d_reg_update_jit = jax.jit(self._d_reg_update, **donate_kw)
+        # k-iterations-per-dispatch training cycle (MaxText-style
+        # steps-per-loop): ~16% of the 256px iteration is per-dispatch
+        # latency through the axon tunnel (benchmarks/bench_decomp.py), and
+        # scanning Dmain+Gmain inside ONE program removes it — the scan body
+        # is emitted once, so the program stays under the size ceiling that
+        # the round-1 monolithic d_step hit.  k is baked in per jit cache
+        # entry by the leading axis of the stacked batch.
+        self._cycle_g_reg_tail = bool(cycle_g_reg_tail)
+        # The cycle never donates: on the axon TPU backend, mixing the
+        # scanned program with donating producers/consumers of the same
+        # state buffers fails with INVALID_ARGUMENT at run time.  Callers
+        # that use cycle_step should build with donate=False throughout
+        # (probed: donation off costs no measurable throughput there).
+        self.cycle_step = jax.jit(self._cycle)
 
     def d_step(self, state, real_img, real_c, gen_c):
         state, fake = self._rollout_jit(state, gen_c)
@@ -229,6 +243,42 @@ class StepBuilder:
         return state.replace(params_d=params_d,
                              d_state=aux.get("d_state", state.d_state),
                              opt_d=opt_d, rng=rng), stats
+
+    def _cycle(self, state: GANTrainState, real_imgs, real_cs, gen_cs,
+               ema_betas):
+        """k batches of [Dmain -> Gmain] scanned inside one program.
+
+        Inputs are stacked along a leading k axis (``real_imgs`` is
+        ``[k, batch, H, W, C]``; ``ema_betas`` is ``[k]`` so the EMA rampup
+        stays exact per iteration).  Per-iteration stats come back stacked
+        ``(k,)`` so the host collector and the ADA controller see every
+        batch.  When ``cycle_g_reg_tail`` is set, one lazy Greg (PPL) update
+        runs at the end of the program (caller aligns the cycle length with
+        the g_reg interval)."""
+        # Zero-width label stacks (unconditional models) must NOT be scan
+        # xs: the axon backend chokes on per-iteration slices of empty
+        # arrays (compile hangs / INVALID_ARGUMENT).  All slices are equal
+        # anyway — close over one.
+        scan_c = real_cs.shape[-1] > 0 or gen_cs.shape[-1] > 0
+        rc0, gc0 = real_cs[0], gen_cs[0]
+
+        def body(s, xs):
+            if scan_c:
+                real, rc, gc, beta = xs
+            else:
+                (real, beta), rc, gc = xs, rc0, gc0
+            s, fake = self._rollout(s, gc)
+            s, d_stats = self._d_update(s, fake, real, rc, gc)
+            s, g_stats = self._g_step(s, gc, beta)
+            return s, {**d_stats, **g_stats}
+
+        xs = (real_imgs, real_cs, gen_cs, ema_betas) if scan_c \
+            else (real_imgs, ema_betas)
+        state, stats = jax.lax.scan(body, state, xs)
+        reg_stats = {}
+        if self._cycle_g_reg_tail and self.arch.gen_regs:
+            state, reg_stats = self._g_reg_step(state, gen_cs[-1])
+        return state, stats, reg_stats
 
     def _d_reg_update(self, state: GANTrainState, fake_img, real_img, real_c,
                       gen_c):

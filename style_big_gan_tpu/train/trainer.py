@@ -261,6 +261,7 @@ class BaseTrainer:
 
         a.bf16 = bool(c.perf.bf16)
         a.donate = bool(getattr(c.perf, "donate", True))
+        a.steps_per_dispatch = int(getattr(c.perf, "steps_per_dispatch", 1))
         a.wandb = bool(c.log.wandb)
         a.tensorboard = bool(getattr(c.log, "tensorboard", False))
         a.project = str(c.exp.project)
@@ -442,6 +443,22 @@ class BaseTrainer:
         opt_d = make_opt(a.optim_disc, a.optim_disc_kwargs, d_int)
         self.opt_g_tx, self.opt_d_tx = opt_g, opt_d
 
+        # Steps-per-dispatch cycle (perf.steps_per_dispatch): k batches of
+        # [Dmain+Gmain] scanned inside one TPU program.  Lazy regs fire as
+        # separate dispatches at window granularity; Greg fuses into the
+        # cycle tail when its interval equals k.
+        self.cycle_k = int(getattr(a, "steps_per_dispatch", 1))
+        if self.cycle_k > 1 and a.n_dis != 1:
+            print(f"perf.steps_per_dispatch={self.cycle_k} requires "
+                  f"gen.n_dis=1 (have {a.n_dis}); falling back to "
+                  "one step per dispatch")
+            self.cycle_k = 1
+        # Greg always dispatches separately: fusing the PPL double-backward
+        # into the cycle program trips the axon backend's program-size
+        # ceiling at 256px (StepBuilder supports the tail for backends
+        # without the ceiling; see tests/test_cycle.py).
+        self.cycle_greg_fused = False
+
         self.steps = StepBuilder(
             self.loss_arch, opt_g, opt_d,
             z_dim=int(getattr(self.G, "z_dim", 128)),
@@ -450,7 +467,8 @@ class BaseTrainer:
             d_reg_gain=float(d_int if d_int > 0 else 1.0),
             fuse_g_reg=(g_int == 0), fuse_d_reg=(d_int == 0),
             donate=a.donate,
-            data_sharding=mesh_lib.batch_sharding(self.mesh, 2))
+            data_sharding=mesh_lib.batch_sharding(self.mesh, 2),
+            cycle_g_reg_tail=self.cycle_greg_fused)
 
         # Phase schedule (intervals in batches; G every n_dis batches).
         self.phases = []
@@ -683,7 +701,10 @@ class BaseTrainer:
             self.collector.report_dict(stats)
             if self.ada_controller is not None and \
                     "Loss/signs/real" in stats:
-                self.ada_controller.observe(stats["Loss/signs/real"])
+                # cycle dispatches return (k,)-stacked stats: one
+                # observation per batch either way
+                for v in np.atleast_1d(stats["Loss/signs/real"]):
+                    self.ada_controller.observe(float(v))
 
     def training_loop(self):
         """The hot loop (reference: trainers.py:699-876)."""
@@ -709,28 +730,41 @@ class BaseTrainer:
               f"{a.num_accum_rounds} accum rounds)...")
         print()
 
+        cycle_k = int(getattr(self, "cycle_k", 1))
+
         while True:
             # ----- fetch and shard data (reference: trainers.py:712-722)
             t0 = time.time()
-            img_u8, labels = next(self.data_iter)
+            if cycle_k > 1:
+                pairs = [next(self.data_iter) for _ in range(cycle_k)]
+                img_u8 = np.stack([p[0] for p in pairs])
+                labels = np.stack([p[1] for p in pairs])
+            else:
+                img_u8, labels = next(self.data_iter)
             real_img = normalize_images(img_u8)
             real_c = labels.astype(np.float32)
-            if a.label_dim > 0 and real_c.ndim == 2 and \
-                    real_c.shape[1] != a.label_dim:
+            if a.label_dim > 0 and \
+                    real_c.shape[-1] != a.label_dim:
                 raise ValueError("label shape mismatch")
             if a.label_dim == 0:
-                real_c = np.zeros((real_img.shape[0], 0), np.float32)
-            gen_c = self._sample_gen_labels(real_img.shape[0])
-            batch = mesh_lib.shard_batch(mesh, (real_img, real_c, gen_c))
+                real_c = np.zeros(real_img.shape[:-3] + (0,), np.float32)
+            gen_c = self._sample_gen_labels(
+                int(np.prod(real_img.shape[:-3])))
+            if cycle_k > 1:
+                gen_c = gen_c.reshape(cycle_k, -1, gen_c.shape[-1])
+                batch = mesh_lib.shard_stacked_batch(
+                    mesh, (real_img, real_c, gen_c))
+            else:
+                batch = mesh_lib.shard_batch(mesh, (real_img, real_c, gen_c))
             real_img_d, real_c_d, gen_c_d = batch
             self.collector.report("Timing/data_fetch", time.time() - t0)
 
             # ----- profiler capture window (reference: record_function
             # ranges, trainers.py:714-744; here one jax.profiler trace)
             trace_dir = getattr(self.config.perf, "trace_dir", "")
-            if trace_dir and batch_idx == 10:
+            if trace_dir and batch_idx <= 10 < batch_idx + cycle_k:
                 jax.profiler.start_trace(str(trace_dir))
-            if trace_dir and batch_idx == 20:
+            if trace_dir and batch_idx <= 20 < batch_idx + cycle_k:
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {trace_dir}")
 
@@ -738,30 +772,73 @@ class BaseTrainer:
             # device arrays here — fetching them per phase would sync the
             # device queue every batch; they are flushed at tick boundaries
             # (and before each ADA adjustment).
-            ema_beta = self._ema_beta(cur_nimg)
-            for phase in self.phases:
-                if batch_idx % phase.interval != 0:
-                    continue
+            if cycle_k > 1:
+                # One scanned [Dmain+Gmain]x k program; lazy regs fire once
+                # per due batch in the window (position within the window is
+                # cycle-granular — the firing *rate* matches the reference
+                # schedule exactly).
+                betas = jnp.asarray(
+                    [self._ema_beta(cur_nimg + i * a.batch_size)
+                     for i in range(cycle_k)], jnp.float32)
                 t1 = time.time()
-                if phase.name == "Dmain":
-                    self.state, stats = self.steps.d_step(
-                        self.state, real_img_d, real_c_d, gen_c_d)
-                elif phase.name == "Dreg":
-                    self.state, stats = self.steps.d_reg_step(
-                        self.state, real_img_d, real_c_d, gen_c_d)
-                elif phase.name == "Gmain":
-                    self.state, stats = self.steps.g_step(
-                        self.state, gen_c_d, ema_beta)
-                elif phase.name == "Greg":
-                    self.state, stats = self.steps.g_reg_step(
-                        self.state, gen_c_d)
+                self.state, stats, reg_stats = self.steps.cycle_step(
+                    self.state, real_img_d, real_c_d, gen_c_d, betas)
                 self._pending_stats.append(stats)
-                self.collector.report(f"Timing/{phase.name}_dispatch",
+                if reg_stats:
+                    self._pending_stats.append(reg_stats)
+                self.collector.report("Timing/cycle_dispatch",
                                       time.time() - t1)
+                due = {name: sum(
+                    1 for i in range(batch_idx, batch_idx + cycle_k)
+                    if i % interval == 0)
+                    for name, interval in ((p.name, p.interval)
+                                           for p in self.phases)
+                    if name in ("Dreg", "Greg")}
+                for _ in range(due.get("Dreg", 0)):
+                    t1 = time.time()
+                    self.state, stats = self.steps.d_reg_step(
+                        self.state, real_img_d[-1], real_c_d[-1],
+                        gen_c_d[-1])
+                    self._pending_stats.append(stats)
+                    self.collector.report("Timing/Dreg_dispatch",
+                                          time.time() - t1)
+                if not self.cycle_greg_fused:
+                    for _ in range(due.get("Greg", 0)):
+                        t1 = time.time()
+                        self.state, stats = self.steps.g_reg_step(
+                            self.state, gen_c_d[-1])
+                        self._pending_stats.append(stats)
+                        self.collector.report("Timing/Greg_dispatch",
+                                              time.time() - t1)
+            else:
+                ema_beta = self._ema_beta(cur_nimg)
+                for phase in self.phases:
+                    if batch_idx % phase.interval != 0:
+                        continue
+                    t1 = time.time()
+                    if phase.name == "Dmain":
+                        self.state, stats = self.steps.d_step(
+                            self.state, real_img_d, real_c_d, gen_c_d)
+                    elif phase.name == "Dreg":
+                        self.state, stats = self.steps.d_reg_step(
+                            self.state, real_img_d, real_c_d, gen_c_d)
+                    elif phase.name == "Gmain":
+                        self.state, stats = self.steps.g_step(
+                            self.state, gen_c_d, ema_beta)
+                    elif phase.name == "Greg":
+                        self.state, stats = self.steps.g_reg_step(
+                            self.state, gen_c_d)
+                    self._pending_stats.append(stats)
+                    self.collector.report(f"Timing/{phase.name}_dispatch",
+                                          time.time() - t1)
 
-            # ----- ADA p adjustment (reference: trainers.py:768-771)
-            if self.ada_controller is not None and \
-                    batch_idx % a.ada_interval == 0 and batch_idx > 0:
+            # ----- ADA p adjustment (reference: trainers.py:768-771).
+            # With cycle_k > 1 the adjustment fires on interval-boundary
+            # crossings; the controller scales the step by the number of
+            # observed batches, so the adjustment *rate* is unchanged.
+            if self.ada_controller is not None and batch_idx > 0 and \
+                    (batch_idx + cycle_k - 1) // a.ada_interval > \
+                    (batch_idx - 1) // a.ada_interval:
                 self._flush_pending_stats()
                 new_p = self.ada_controller.adjust(self._ada_p_host)
                 if new_p is not None:
@@ -770,8 +847,8 @@ class BaseTrainer:
                         ada_p=jnp.asarray(new_p, jnp.float32))
             self.collector.report("Progress/augment", self._ada_p_host)
 
-            cur_nimg += a.batch_size
-            batch_idx += 1
+            cur_nimg += a.batch_size * cycle_k
+            batch_idx += cycle_k
 
             # ----- per-tick upkeep (reference: trainers.py:775-876)
             done = cur_nimg >= total_nimg

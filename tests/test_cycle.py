@@ -1,0 +1,203 @@
+"""steps-per-dispatch cycle (StepBuilder.cycle_step, perf.steps_per_dispatch).
+
+The scanned k-batch cycle must be numerically identical to k sequential
+(d_step, g_step) dispatches: same rng split order, same optimizer updates,
+same EMA lerp.  Runs on the 8-device fake-CPU mesh from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from style_big_gan_tpu import registries
+from style_big_gan_tpu.train.loss_arch import split_vars
+from style_big_gan_tpu.train.state import create_train_state
+from style_big_gan_tpu.train.steps import StepBuilder
+
+registries._import_all()
+
+
+def _build(cycle_g_reg_tail=False, gen_regs=(), dis_regs=(), c_dim=0):
+    res, zw = 32, 32
+    G = registries.generators["sg2_classic"](
+        z_dim=zw, w_dim=zw, c_dim=c_dim, img_resolution=res,
+        channel_base=1024, channel_max=64, mapping_kwargs={"num_layers": 2})
+    D = registries.discriminators["sg2_classic"](
+        c_dim=c_dim, img_resolution=res, channel_base=1024, channel_max=64,
+        epilogue_kwargs={"mbstd_group_size": 2})
+    arch = registries.losses_arch["sg2"](style_mixing_prob=0.5)
+    arch.initialize(G, D, registries.losses["softplus"](),
+                    [registries.generator_regs[r]() for r in gen_regs],
+                    [registries.discriminator_regs[r]() for r in dis_regs],
+                    None)
+    z = jnp.zeros((4, zw), jnp.float32)
+    img = jnp.zeros((4, res, res, 3), jnp.float32)
+    c = jnp.zeros((4, c_dim), jnp.float32) if c_dim else None
+    g_vars = G.init({"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)}, z, c)
+    d_vars = D.init({"params": jax.random.PRNGKey(2)}, img, c)
+    pg, gs = split_vars(g_vars)
+    pd, ds = split_vars(d_vars)
+    tx = optax.adam(2e-3)
+    state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds, tx, tx,
+                               gen_regs=arch.gen_regs)
+    steps = StepBuilder(arch, tx, tx, z_dim=zw, num_accum_rounds=1,
+                        g_reg_gain=4.0, d_reg_gain=16.0, donate=False,
+                        cycle_g_reg_tail=cycle_g_reg_tail)
+    return steps, state
+
+
+def test_cycle_matches_sequential_steps():
+    steps, state0 = _build()
+    k, n, res = 3, 4, 32
+    rnd = np.random.RandomState(0)
+    reals = jnp.asarray(rnd.randn(k, n, res, res, 3).astype(np.float32))
+    cs = jnp.zeros((k, n, 0), jnp.float32)
+    betas = jnp.asarray([0.9, 0.99, 0.999], jnp.float32)
+
+    # sequential
+    s = state0
+    seq_stats = []
+    for i in range(k):
+        s, d_stats = steps.d_step(s, reals[i], cs[i], cs[i])
+        s, g_stats = steps.g_step(s, cs[i], betas[i])
+        seq_stats.append({**d_stats, **g_stats})
+    seq = s
+
+    # one scanned cycle
+    cyc, stats, reg_stats = steps.cycle_step(state0, reals, cs, cs, betas)
+    assert reg_stats == {}
+
+    flat_a, _ = jax.tree_util.tree_flatten(
+        jax.device_get((seq.params_g, seq.params_d, seq.params_g_ema,
+                        seq.opt_g, seq.opt_d, seq.rng, seq.step)))
+    flat_b, _ = jax.tree_util.tree_flatten(
+        jax.device_get((cyc.params_g, cyc.params_d, cyc.params_g_ema,
+                        cyc.opt_g, cyc.opt_d, cyc.rng, cyc.step)))
+    # scanned vs unrolled programs fuse differently -> tiny float
+    # reassociation noise is expected
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa, np.float64),
+                                   np.asarray(xb, np.float64),
+                                   rtol=3e-4, atol=1e-4)
+
+    # stacked stats match the per-step stats
+    stats = jax.device_get(stats)
+    for i, ss in enumerate(seq_stats):
+        ss = jax.device_get(ss)
+        for name, v in ss.items():
+            np.testing.assert_allclose(np.asarray(stats[name])[i],
+                                       np.asarray(v), rtol=2e-4, atol=1e-5)
+
+
+def test_cycle_conditional_labels_scanned():
+    """c_dim > 0: per-iteration labels ride the scan xs."""
+    steps, state0 = _build(c_dim=4)
+    k, n, res = 2, 4, 32
+    rnd = np.random.RandomState(2)
+    reals = jnp.asarray(rnd.randn(k, n, res, res, 3).astype(np.float32))
+    cs = jax.nn.one_hot(jnp.asarray(rnd.randint(0, 4, (k, n))), 4)
+    betas = jnp.full((k,), 0.99, jnp.float32)
+
+    s = state0
+    for i in range(k):
+        s, _ = steps.d_step(s, reals[i], cs[i], cs[i])
+        s, _ = steps.g_step(s, cs[i], betas[i])
+    cyc, stats, _ = steps.cycle_step(state0, reals, cs, cs, betas)
+    flat_a, _ = jax.tree_util.tree_flatten(jax.device_get(s.params_g))
+    flat_b, _ = jax.tree_util.tree_flatten(jax.device_get(cyc.params_g))
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa, np.float64),
+                                   np.asarray(xb, np.float64),
+                                   rtol=3e-4, atol=1e-4)
+    assert int(cyc.step) == k
+
+
+def test_cycle_g_reg_tail_runs_ppl():
+    steps, state0 = _build(cycle_g_reg_tail=True, gen_regs=("ppl",),
+                           dis_regs=("r1",))
+    k, n, res = 2, 4, 32
+    rnd = np.random.RandomState(1)
+    reals = jnp.asarray(rnd.randn(k, n, res, res, 3).astype(np.float32))
+    cs = jnp.zeros((k, n, 0), jnp.float32)
+    betas = jnp.full((k,), 0.99, jnp.float32)
+    state, stats, reg_stats = steps.cycle_step(state0, reals, cs, cs, betas)
+    assert "Loss/pl_penalty" in reg_stats
+    assert np.isfinite(float(reg_stats["Loss/pl_penalty"]))
+    assert np.isfinite(np.asarray(jax.device_get(stats["Loss/D/loss"]))).all()
+    # pl_mean EMA state moved
+    assert float(state.reg_state["pl_mean"]) != 0.0
+    assert int(state.step) == k
+
+
+import io
+import json
+import os
+import zipfile
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+@pytest.fixture(scope="module")
+def tiny_zip(tmp_path_factory):
+    import PIL.Image
+    path = tmp_path_factory.mktemp("data") / "tiny32.zip"
+    rnd = np.random.RandomState(0)
+    with zipfile.ZipFile(path, "w") as z:
+        labels = []
+        for i in range(32):
+            img = (rnd.rand(32, 32, 3) * 255).astype("uint8")
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, format="png")
+            fname = f"img{i:05d}.png"
+            z.writestr(fname, buf.getvalue())
+            labels.append([fname, i % 4])
+        z.writestr("dataset.json", json.dumps({"labels": labels}))
+    return str(path)
+
+
+def _overrides(tiny_zip, tmp_path, extra=()):
+    return [
+        "exp.name=t", f"data.dataset_path={tiny_zip}",
+        "datasets_args.image_folder.max_size=32", "gen.kimg=0.064",
+        "gen.batch=16", "gen.batch_device=16", "log.kimg_per_tick=1",
+        "log.metrics=[]", f"log.output={tmp_path}",
+        "dataloaders_args.basic.num_workers=1",
+        "log.sample_grid=[4,2]", "perf.devices=1",
+    ] + list(extra)
+
+
+def test_trainer_cycle_e2e(tiny_zip, tmp_path):
+    """Full trainer with perf.steps_per_dispatch=2 on the CPU mesh."""
+    from style_big_gan_tpu.arguments import load_config
+
+    cfg = load_config(
+        argv=_overrides(tiny_zip, tmp_path, ["perf.steps_per_dispatch=2"]),
+        yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    files = os.listdir(run_dir)
+    assert any(f.startswith("network-snapshot-") for f in files)
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert "Loss/D/loss" in last and np.isfinite(last["Loss/D/loss"])
+    assert trainer.cycle_k == 2
+    trainer.logger.close()
+
+
+def test_trainer_cycle_requires_ndis_1(tiny_zip, tmp_path):
+    """n_dis != 1 falls back to per-phase dispatch with a warning."""
+    from style_big_gan_tpu.arguments import load_config
+
+    cfg = load_config(
+        argv=_overrides(tiny_zip, tmp_path,
+                        ["gen.n_dis=2", "perf.steps_per_dispatch=4",
+                         "gen.kimg=0.016"]),
+        yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    assert trainer.cycle_k == 1     # fell back with a warning
+    trainer.logger.close()
