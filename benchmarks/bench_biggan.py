@@ -25,6 +25,9 @@ def main():
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--cycles", type=int, default=3)
     p.add_argument("--n-dis", type=int, default=4)
+    p.add_argument("--windows", type=int, default=0,
+                   help=">0: scan this many [n_dis x D + G] critic windows "
+                        "per dispatch (StepBuilder.cycle_step)")
     args = p.parse_args()
     batch, n_dis = args.batch, args.n_dis
 
@@ -61,12 +64,23 @@ def main():
     opt = optax.adam(2e-4, b1=0.0, b2=0.999)
     state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds, opt,
                                opt, gen_regs=arch.gen_regs)
+    W = args.windows
     steps = StepBuilder(arch, opt, opt, z_dim=zdim, num_accum_rounds=1,
-                        donate=True)
+                        donate=(W == 0), n_dis=(n_dis if W else 1))
 
     real = jnp.asarray(rnd.randn(batch, res, res, 3).astype(np.float32))
+    if W:
+        kb = W * n_dis
+        reals = jnp.asarray(rnd.randn(kb, batch, res, res, 3)
+                            .astype(np.float32))
+        cs = jax.nn.one_hot(jnp.asarray(rnd.randint(0, ncls, (kb, batch))),
+                            ncls)
+        betas = jnp.full((W,), 0.9999, jnp.float32)
 
     def one_cycle(state):
+        if W:
+            state, _, _ = steps.cycle_step(state, reals, cs, cs, betas)
+            return state
         # reference n_dis semantics: n_dis D steps per G step
         # (trainers.py:609-618).
         for _ in range(n_dis):
@@ -88,9 +102,9 @@ def main():
     dt = time.time() - t0
     # imgs consumed per cycle = n_dis * batch reals (reference counts
     # cur_nimg by D batches).
-    total = args.cycles * 10 * n_dis * batch
+    total = args.cycles * 10 * n_dis * batch * max(1, W)
     print(f"biggan_cifar32 train: {total / dt:.1f} imgs/sec/chip "
-          f"(batch {batch}, n_dis {n_dis})")
+          f"(batch {batch}, n_dis {n_dis}, windows/dispatch {W})")
 
 
 if __name__ == "__main__":

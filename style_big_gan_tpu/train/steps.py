@@ -47,7 +47,8 @@ class StepBuilder:
                  num_accum_rounds: int = 1, g_reg_gain: float = 1.0,
                  d_reg_gain: float = 1.0, fuse_g_reg: bool = False,
                  fuse_d_reg: bool = False, donate: bool = False,
-                 data_sharding=None, cycle_g_reg_tail: bool = False):
+                 data_sharding=None, cycle_g_reg_tail: bool = False,
+                 n_dis: int = 1):
         self.arch = arch
         self.opt_g_tx = opt_g_tx
         self.opt_d_tx = opt_d_tx
@@ -84,6 +85,7 @@ class StepBuilder:
         # the round-1 monolithic d_step hit.  k is baked in per jit cache
         # entry by the leading axis of the stacked batch.
         self._cycle_g_reg_tail = bool(cycle_g_reg_tail)
+        self.n_dis = max(1, int(n_dis))
         # The cycle never donates: on the axon TPU backend, mixing the
         # scanned program with donating producers/consumers of the same
         # state buffers fails with INVALID_ARGUMENT at run time.  Callers
@@ -246,15 +248,28 @@ class StepBuilder:
 
     def _cycle(self, state: GANTrainState, real_imgs, real_cs, gen_cs,
                ema_betas):
-        """k batches of [Dmain -> Gmain] scanned inside one program.
+        """k batches of the [Dmain x n_dis -> Gmain] schedule scanned
+        inside one program.
 
         Inputs are stacked along a leading k axis (``real_imgs`` is
-        ``[k, batch, H, W, C]``; ``ema_betas`` is ``[k]`` so the EMA rampup
-        stays exact per iteration).  Per-iteration stats come back stacked
-        ``(k,)`` so the host collector and the ADA controller see every
-        batch.  When ``cycle_g_reg_tail`` is set, one lazy Greg (PPL) update
-        runs at the end of the program (caller aligns the cycle length with
-        the g_reg interval)."""
+        ``[k, batch, H, W, C]``, k a multiple of ``n_dis``; ``ema_betas``
+        is ``[k // n_dis]`` — one per G update — so the EMA rampup stays
+        exact).  The scan unit is one critic window of ``n_dis`` batches:
+        Dmain on batch 0, then Gmain (the reference fires Gmain when
+        ``batch_idx % n_dis == 0``, i.e. alongside the *first* D batch of
+        the window; trainers.py:725-748), then Dmain on batches 1..n-1.
+        Per-batch D stats come back stacked ``(k,)`` (G stats ``(k //
+        n_dis,)``) so the host collector and the ADA controller see every
+        batch.  When ``cycle_g_reg_tail`` is set, one lazy Greg (PPL)
+        update runs at the end of the program (caller aligns the cycle
+        length with the g_reg interval)."""
+        n_dis = self.n_dis
+        k = real_imgs.shape[0]
+        assert k % n_dis == 0, (k, n_dis)
+
+        def window(x):
+            return x.reshape(k // n_dis, n_dis, *x.shape[1:])
+
         # Zero-width label stacks (unconditional models) must NOT be scan
         # xs: the axon backend chokes on per-iteration slices of empty
         # arrays (compile hangs / INVALID_ARGUMENT).  All slices are equal
@@ -264,17 +279,30 @@ class StepBuilder:
 
         def body(s, xs):
             if scan_c:
-                real, rc, gc, beta = xs
+                reals, rcs, gcs, beta = xs
             else:
-                (real, beta), rc, gc = xs, rc0, gc0
-            s, fake = self._rollout(s, gc)
-            s, d_stats = self._d_update(s, fake, real, rc, gc)
-            s, g_stats = self._g_step(s, gc, beta)
+                (reals, beta), rcs, gcs = xs, None, None
+            d_stats_all = []
+            g_stats = {}
+            for i in range(n_dis):
+                real = reals[i]
+                rc = rcs[i] if scan_c else rc0
+                gc = gcs[i] if scan_c else gc0
+                s, fake = self._rollout(s, gc)
+                s, d_stats = self._d_update(s, fake, real, rc, gc)
+                d_stats_all.append(d_stats)
+                if i == 0:
+                    s, g_stats = self._g_step(s, gc, beta)
+            d_stats = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *d_stats_all)
             return s, {**d_stats, **g_stats}
 
-        xs = (real_imgs, real_cs, gen_cs, ema_betas) if scan_c \
-            else (real_imgs, ema_betas)
+        xs = (window(real_imgs), window(real_cs), window(gen_cs),
+              ema_betas) if scan_c else (window(real_imgs), ema_betas)
         state, stats = jax.lax.scan(body, state, xs)
+        # flatten the (k//n_dis, n_dis) D-stat stacking back to (k,)
+        stats = {name: v.reshape(-1) if v.ndim > 1 else v
+                 for name, v in stats.items()}
         reg_stats = {}
         if self._cycle_g_reg_tail and self.arch.gen_regs:
             state, reg_stats = self._g_reg_step(state, gen_cs[-1])

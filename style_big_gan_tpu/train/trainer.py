@@ -444,13 +444,14 @@ class BaseTrainer:
         self.opt_g_tx, self.opt_d_tx = opt_g, opt_d
 
         # Steps-per-dispatch cycle (perf.steps_per_dispatch): k batches of
-        # [Dmain+Gmain] scanned inside one TPU program.  Lazy regs fire as
-        # separate dispatches at window granularity; Greg fuses into the
-        # cycle tail when its interval equals k.
+        # the [Dmain x n_dis + Gmain] schedule scanned inside one TPU
+        # program.  Lazy regs fire as separate dispatches at window
+        # granularity; Greg fuses into the cycle tail when its interval
+        # equals k.
         self.cycle_k = int(getattr(a, "steps_per_dispatch", 1))
-        if self.cycle_k > 1 and a.n_dis != 1:
-            print(f"perf.steps_per_dispatch={self.cycle_k} requires "
-                  f"gen.n_dis=1 (have {a.n_dis}); falling back to "
+        if self.cycle_k > 1 and self.cycle_k % a.n_dis != 0:
+            print(f"perf.steps_per_dispatch={self.cycle_k} must be a "
+                  f"multiple of gen.n_dis ({a.n_dis}); falling back to "
                   "one step per dispatch")
             self.cycle_k = 1
         # Greg always dispatches separately: fusing the PPL double-backward
@@ -468,7 +469,7 @@ class BaseTrainer:
             fuse_g_reg=(g_int == 0), fuse_d_reg=(d_int == 0),
             donate=a.donate,
             data_sharding=mesh_lib.batch_sharding(self.mesh, 2),
-            cycle_g_reg_tail=self.cycle_greg_fused)
+            cycle_g_reg_tail=self.cycle_greg_fused, n_dis=a.n_dis)
 
         # Phase schedule (intervals in batches; G every n_dis batches).
         self.phases = []
@@ -778,8 +779,8 @@ class BaseTrainer:
                 # cycle-granular — the firing *rate* matches the reference
                 # schedule exactly).
                 betas = jnp.asarray(
-                    [self._ema_beta(cur_nimg + i * a.batch_size)
-                     for i in range(cycle_k)], jnp.float32)
+                    [self._ema_beta(cur_nimg + i * a.n_dis * a.batch_size)
+                     for i in range(cycle_k // a.n_dis)], jnp.float32)
                 t1 = time.time()
                 self.state, stats, reg_stats = self.steps.cycle_step(
                     self.state, real_img_d, real_c_d, gen_c_d, betas)
@@ -788,25 +789,26 @@ class BaseTrainer:
                     self._pending_stats.append(reg_stats)
                 self.collector.report("Timing/cycle_dispatch",
                                       time.time() - t1)
-                due = {name: sum(
-                    1 for i in range(batch_idx, batch_idx + cycle_k)
-                    if i % interval == 0)
+                due = {name: [
+                    i - batch_idx for i in range(batch_idx,
+                                                 batch_idx + cycle_k)
+                    if i % interval == 0]
                     for name, interval in ((p.name, p.interval)
                                            for p in self.phases)
                     if name in ("Dreg", "Greg")}
-                for _ in range(due.get("Dreg", 0)):
+                for j in due.get("Dreg", []):
                     t1 = time.time()
                     self.state, stats = self.steps.d_reg_step(
-                        self.state, real_img_d[-1], real_c_d[-1],
-                        gen_c_d[-1])
+                        self.state, real_img_d[j], real_c_d[j],
+                        gen_c_d[j])
                     self._pending_stats.append(stats)
                     self.collector.report("Timing/Dreg_dispatch",
                                           time.time() - t1)
                 if not self.cycle_greg_fused:
-                    for _ in range(due.get("Greg", 0)):
+                    for j in due.get("Greg", []):
                         t1 = time.time()
                         self.state, stats = self.steps.g_reg_step(
-                            self.state, gen_c_d[-1])
+                            self.state, gen_c_d[j])
                         self._pending_stats.append(stats)
                         self.collector.report("Timing/Greg_dispatch",
                                               time.time() - t1)

@@ -188,16 +188,51 @@ def test_trainer_cycle_e2e(tiny_zip, tmp_path):
     trainer.logger.close()
 
 
-def test_trainer_cycle_requires_ndis_1(tiny_zip, tmp_path):
-    """n_dis != 1 falls back to per-phase dispatch with a warning."""
+def test_trainer_cycle_requires_ndis_multiple(tiny_zip, tmp_path):
+    """steps_per_dispatch not divisible by n_dis falls back with a warning."""
     from style_big_gan_tpu.arguments import load_config
 
     cfg = load_config(
         argv=_overrides(tiny_zip, tmp_path,
-                        ["gen.n_dis=2", "perf.steps_per_dispatch=4",
+                        ["gen.n_dis=2", "perf.steps_per_dispatch=3",
                          "gen.kimg=0.016"]),
         yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
     trainer = registries.trainers[str(cfg.exp.trainer)]()
     trainer.run(cfg)
     assert trainer.cycle_k == 1     # fell back with a warning
     trainer.logger.close()
+
+
+def test_cycle_n_dis_matches_sequential():
+    """n_dis=2 cycle == [d, g, d] per window, numerically."""
+    steps2, state0 = _build()
+    import optax
+    tx = optax.adam(2e-3)
+    steps_nd = StepBuilder(steps2.arch, tx, tx, z_dim=32,
+                           num_accum_rounds=1, g_reg_gain=4.0,
+                           d_reg_gain=16.0, donate=False, n_dis=2)
+    k, n, res = 4, 4, 32   # 2 critic windows
+    rnd = np.random.RandomState(3)
+    reals = jnp.asarray(rnd.randn(k, n, res, res, 3).astype(np.float32))
+    cs = jnp.zeros((k, n, 0), jnp.float32)
+    betas = jnp.asarray([0.9, 0.99], jnp.float32)
+
+    s = state0
+    for w in range(2):
+        for i in range(2):
+            b = 2 * w + i
+            s, _ = steps_nd.d_step(s, reals[b], cs[b], cs[b])
+            if i == 0:
+                s, _ = steps_nd.g_step(s, cs[b], betas[w])
+    cyc, stats, _ = steps_nd.cycle_step(state0, reals, cs, cs, betas)
+
+    flat_a, _ = jax.tree_util.tree_flatten(
+        jax.device_get((s.params_g, s.params_d, s.params_g_ema)))
+    flat_b, _ = jax.tree_util.tree_flatten(
+        jax.device_get((cyc.params_g, cyc.params_d, cyc.params_g_ema)))
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa, np.float64),
+                                   np.asarray(xb, np.float64),
+                                   rtol=3e-4, atol=1e-4)
+    # D-side stats flattened back to one entry per batch
+    assert np.asarray(jax.device_get(stats["Loss/D/loss"])).shape == (k,)
