@@ -301,8 +301,13 @@ def load_tf_network_pkl(path: str):
             except (ImportError, AttributeError):
                 return _Stub
 
-    with open(path, "rb") as f:
-        data = _TFUnpickler(f).load()
+    try:
+        with open(path, "rb") as f:
+            data = _TFUnpickler(f).load()
+    except Exception:
+        # not a raw pickle stream (e.g. a torch.save zip archive) -> not a
+        # TF-legacy network pickle
+        return None
     if (isinstance(data, tuple) and len(data) == 3
             and all(isinstance(n, _TFNetworkStub) for n in data)):
         return data
@@ -513,3 +518,86 @@ def import_generator_pickle(path: str, key: str = "G_ema"):
     params, moving, noise = convert_sg2_generator(state)
     variables = {"params": params, "moving": moving, "noise": noise}
     return init_kwargs, variables
+
+
+# --------------------------------------------------------------------- CLI
+
+_GEN_FIELDS = ("z_dim", "w_dim", "c_dim", "img_resolution", "img_channels",
+               "channel_base", "channel_max", "num_fp16_res", "conv_clamp",
+               "architecture", "attentions", "mapping_kwargs")
+_MAPPING_FIELDS = ("num_layers", "embed_features", "layer_features",
+                   "activation", "lr_multiplier", "w_avg_beta")
+
+
+def normalize_generator_kwargs(init_kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference Generator init kwargs -> models/stylegan2.Generator kwargs.
+
+    The reference nests channel/precision settings under synthesis_kwargs
+    (reference generators.py:533-563); this framework's ctor takes them at
+    the top level.  Unknown keys are dropped with a notice so pickles from
+    forked reference variants still import."""
+    kw = dict(init_kwargs or {})
+    synth = dict(kw.pop("synthesis_kwargs", None) or {})
+    for k in ("channel_base", "channel_max", "num_fp16_res", "conv_clamp",
+              "architecture", "attentions"):
+        if k in synth and k not in kw:
+            kw[k] = synth[k]
+    mapping = dict(kw.get("mapping_kwargs", None) or {})
+    dropped_m = sorted(set(mapping) - set(_MAPPING_FIELDS))
+    kw["mapping_kwargs"] = {k: v for k, v in mapping.items()
+                            if k in _MAPPING_FIELDS}
+    dropped = sorted(set(kw) - set(_GEN_FIELDS))
+    out = {k: v for k, v in kw.items() if k in _GEN_FIELDS}
+    if dropped or dropped_m:
+        print(f"import: dropped unsupported kwargs {dropped} "
+              f"mapping={dropped_m}")
+    return out
+
+
+def main():
+    """Convert a reference network pickle into a run directory this
+    framework's tools (generate/style_mixing/projector/calc_metrics) load
+    directly: training_options.json + network-snapshot-000000.msgpack
+    (reference legacy.py as a standalone converter)."""
+    import argparse
+    import os
+
+    from style_big_gan_tpu.utils import checkpoint as ckpt
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--src", required=True,
+                   help="reference .pkl (torch-persistence or TF-legacy)")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--key", default="G_ema",
+                   help="which network to import (G_ema, G)")
+    args = p.parse_args()
+
+    init_kwargs, variables = import_generator_pickle(args.src, key=args.key)
+    kw = normalize_generator_kwargs(init_kwargs)
+    common = {k: int(kw.pop(k)) for k in
+              ("c_dim", "img_resolution", "img_channels") if k in kw}
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    params = variables.pop("params")
+    payload = dict(params_g_ema=params, g_state_ema=variables,
+                   params_g=params, g_state=variables)
+    snap = os.path.join(args.out_dir, "network-snapshot-000000.msgpack")
+    ckpt.save_pytree(snap, payload)
+    opts = {
+        "gen": {"generator": "sg2_classic"},
+        "gens_args": {"sg2_classic": kw},
+        "data": {"dataset": "image_folder"},
+        "datasets_args": {"image_folder": {}},
+        "model_meta": {
+            "label_dim": common.get("c_dim", 0),
+            "resolution": common.get("img_resolution", 0),
+            "img_channels": common.get("img_channels", 3),
+        },
+        "imported_from": os.path.abspath(args.src),
+    }
+    ckpt.save_json(os.path.join(args.out_dir, "training_options.json"), opts)
+    print(f"imported {args.src} ({args.key}) -> {snap}")
+
+
+if __name__ == "__main__":
+    main()

@@ -570,3 +570,40 @@ def test_discriminator_forward_parity(ref_d):
                      jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))), None)
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3,
                                atol=2e-3)
+
+
+def test_import_cli_roundtrip(ref_g, tmp_path, monkeypatch):
+    """tools.import_reference CLI: reference pickle -> run dir loadable by
+    tools.loader, forward-parity-checked against the live torch net."""
+    import sys
+
+    from style_big_gan_tpu.tools import import_reference as ir
+    from style_big_gan_tpu.tools import loader
+
+    # A persistence-style pickle: meta dict carrying init kwargs + state
+    # (what reference torch_utils/persistence.py embeds per object).
+    init_kwargs = dict(CFG, mapping_kwargs=dict(num_layers=2),
+                       synthesis_kwargs=dict(**CH, num_fp16_res=0,
+                                             architecture="skip"))
+    meta = dict(type="class",
+                class_name="train_parts.generators.Generator",
+                state=dict(state_dict=ref_g.state_dict(),
+                           init_kwargs=init_kwargs))
+    src = tmp_path / "ref.pkl"
+    torch.save({"G_ema": meta}, str(src))
+
+    out = tmp_path / "imported"
+    monkeypatch.setattr(sys, "argv", [
+        "import_reference", "--src", str(src), "--out-dir", str(out)])
+    ir.main()
+
+    G, g_vars, opts = loader.load_generator(str(out))
+    assert opts["model_meta"]["resolution"] == CFG["img_resolution"]
+    z_np = np.random.RandomState(7).randn(2, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref_g(torch.from_numpy(z_np), None,
+                        noise_mode="const").numpy()
+    img = G.apply(g_vars, jnp.asarray(z_np), None, noise_mode="const",
+                  rngs={"noise": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
+                               ref_img, rtol=2e-3, atol=2e-3)
