@@ -246,6 +246,63 @@ def test_tp_sharded_step_matches_replicated():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-4)
 
 
+def test_tp_cycle_step_matches_replicated():
+    """The scanned steps-per-dispatch cycle under a data x model mesh
+    (stacked-batch sharding + TP param placement) matches the DP-only run."""
+    from style_big_gan_tpu.train.loss_arch import split_vars
+    from style_big_gan_tpu.train.state import create_train_state
+    from style_big_gan_tpu.train.steps import StepBuilder
+
+    G = registries.generators["cnn32_dcgan"](z_dim=8)
+    D = registries.discriminators["cnn32_dcgan"]()
+    arch = registries.losses_arch["base"]()
+    arch.initialize(G, D, registries.losses["bcew"](), [], [], None)
+    z = jnp.zeros((2, 8))
+    img = jnp.zeros((2, 32, 32, 3))
+    gv = G.init({"params": jax.random.PRNGKey(0),
+                 "noise": jax.random.PRNGKey(1)}, z)
+    dv = D.init({"params": jax.random.PRNGKey(2)}, img)
+    pg, gs = split_vars(gv)
+    pd, ds = split_vars(dv)
+    tx = optax.sgd(0.1)
+
+    # one scanned window: two+ chained updates amplify float divergence
+    # between the DP and TP programs chaotically (bcew + sgd 0.1)
+    k = 1
+    reals = np.random.RandomState(0).randn(k, 8, 32, 32, 3).astype(np.float32)
+    cs = np.zeros((k, 8, 0), np.float32)
+    betas = np.full((k,), 0.5, np.float32)
+
+    def run(model_parallel: int):
+        mesh = mesh_lib.make_mesh(4, model_parallel=model_parallel)
+        state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds,
+                                   tx, tx)
+        if model_parallel > 1:
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, mesh_lib.infer_param_sharding(x, mesh,
+                                                     min_size=2 ** 10)
+                    if hasattr(x, "ndim") and x.ndim >= 2
+                    else mesh_lib.replicated(mesh)), state)
+        else:
+            state = mesh_lib.replicate_tree(mesh, state)
+        steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False,
+                            data_sharding=mesh_lib.batch_sharding(mesh, 2))
+        batch = mesh_lib.shard_stacked_batch(mesh, (reals, cs, cs))
+        s2, stats, _ = steps.cycle_step(state, *batch,
+                                        jnp.asarray(betas))
+        return (jax.device_get(s2.params_d), jax.device_get(s2.params_g),
+                jax.device_get(stats))
+
+    pd1, pg1, st1 = run(1)
+    pd2, pg2, st2 = run(2)
+    np.testing.assert_allclose(st1["Loss/D/loss"], st2["Loss/D/loss"],
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves((pd1, pg1)),
+                    jax.tree_util.tree_leaves((pd2, pg2))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-4)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
