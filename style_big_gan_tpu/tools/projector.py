@@ -181,9 +181,32 @@ def run_projection(run_dir: str, target_path: str, outdir: str,
                       vgg16_path=vgg16_path)
     os.makedirs(outdir, exist_ok=True)
     target_pil.save(os.path.join(outdir, "target.png"))
+
+    synth = jax.jit(lambda w: G.apply(
+        g_vars, w, method=G.synthesize, noise_mode="const",
+        rngs={"noise": jax.random.PRNGKey(0)}))
+
+    if save_video:
+        # Optimization-progress video, target | current frame side by side
+        # (reference: projector.py:160-170).  At most ~200 frames: the
+        # trajectory is subsampled so long runs stay cheap to render.
+        stride = max(1, len(w_steps) // 200)
+        frames_w = jnp.asarray(w_steps[::stride])
+        frames = []
+        for i in range(0, int(frames_w.shape[0]), 8):
+            for fr in images_to_uint8(synth(frames_w[i:i + 8])):
+                frames.append(np.concatenate([target_u8, fr], axis=1))
+        import imageio
+        try:
+            video_path = os.path.join(outdir, "proj.mp4")
+            imageio.mimwrite(video_path, frames, fps=20)
+        except Exception:   # no ffmpeg plugin -> GIF via pillow
+            video_path = os.path.join(outdir, "proj.gif")
+            imageio.mimwrite(video_path, frames, duration=50, loop=0)
+        print(f"wrote {video_path}")
+
     w_final = w_steps[-1]
-    img = G.apply(g_vars, jnp.asarray(w_final[None]), method=G.synthesize,
-                  noise_mode="const", rngs={"noise": jax.random.PRNGKey(0)})
+    img = synth(jnp.asarray(w_final[None]))
     PIL.Image.fromarray(images_to_uint8(img)[0], "RGB").save(
         os.path.join(outdir, "proj.png"))
     np.savez(os.path.join(outdir, "projected_w.npz"), w=w_final[None])
@@ -201,9 +224,12 @@ def main(argv=None):
     p.add_argument("--vgg16", default=None,
                    help="LPIPS-VGG weights .npz (tools/convert_detector.py);"
                         " omitted = random-conv smoke features")
+    p.add_argument("--save-video", action="store_true",
+                   help="write proj.mp4 optimization-progress video "
+                        "(reference projector.py --save-video)")
     a = p.parse_args(argv)
     run_projection(a.run_dir, a.target, a.outdir, a.num_steps, a.seed,
-                   a.snapshot, vgg16_path=a.vgg16)
+                   a.snapshot, save_video=a.save_video, vgg16_path=a.vgg16)
 
 
 if __name__ == "__main__":

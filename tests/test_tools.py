@@ -110,9 +110,11 @@ def test_projector_runs(tiny_run, tmp_path):
     ).save(target)
     out = tmp_path / "proj"
     projector.run_projection(tiny_run, str(target), str(out), num_steps=5,
-                             seed=1)
+                             seed=1, save_video=True)
     assert (out / "proj.png").exists()
     assert (out / "projected_w.npz").exists()
+    # mp4 with ffmpeg available, GIF fallback otherwise
+    assert (out / "proj.mp4").exists() or (out / "proj.gif").exists()
 
 
 def test_projected_w_roundtrip(tiny_run, tmp_path):
