@@ -60,6 +60,13 @@ class LogArgs:
     wandb: bool = False
     tensorboard: bool = False
     sample_grid: List[int] = field(default_factory=lambda: [0, 0])  # 0 = auto
+    # Metric feature detector for training-time evaluation: 'fake_v1' is a
+    # deterministic random-conv stand-in (NOT a perceptual metric; for smoke
+    # runs / environments without weights).  'inception_v3_jax' +
+    # detector_path=<converted .npz> gives real FID numbers
+    # (tools/convert_detector.py).
+    detector: str = "fake_v1"
+    detector_path: str = ""
 
 
 @args.add_to_registry("gen")

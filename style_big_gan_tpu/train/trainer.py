@@ -655,8 +655,8 @@ class BaseTrainer:
                     dataset_kwargs=a.dataset_kwargs,
                     detector=str(getattr(self.config.log, "detector",
                                          "fake_v1")),
-                    detector_path=getattr(self.config.log, "detector_path",
-                                          None))
+                    detector_path=(getattr(self.config.log, "detector_path",
+                                           None) or None))
                 metric_main.report_metric(res, run_dir=self.run_dir,
                                           snapshot_path=snapshot_path)
                 for k, v in res.results.items():

@@ -607,3 +607,87 @@ def test_import_cli_roundtrip(ref_g, tmp_path, monkeypatch):
                   rngs={"noise": jax.random.PRNGKey(0)})
     np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
                                ref_img, rtol=2e-3, atol=2e-3)
+
+
+def test_biggan_gblock_parity():
+    """Single GBlock with upsample, SN convs and class-conditional BN
+    (vector-conditioning ccbn with SNLinear gains), eval mode
+    (reference: biggan/layers.py:278-329,375-408)."""
+    import functools
+
+    from biggan import layers as ref_layers
+    from style_big_gan_tpu.models.biggan import GBlock
+    from style_big_gan_tpu.tools.import_reference import _l2n, _t_conv
+
+    torch.manual_seed(8)
+    cdim, cin, cout = 6, 8, 16
+    which_conv = functools.partial(ref_layers.SNConv2d, kernel_size=3,
+                                   padding=1)
+    which_bn = functools.partial(
+        ref_layers.ccbn,
+        which_linear=functools.partial(ref_layers.SNLinear, bias=False),
+        input_size=cdim)
+    ref = ref_layers.GBlock(
+        in_channels=cin, out_channels=cout, which_conv=which_conv,
+        which_bn=which_bn, activation=torch.nn.ReLU(inplace=False),
+        upsample=torch.nn.Upsample(scale_factor=2)).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    params, spectral, stats = {}, {}, {}
+    for lyr in ("conv1", "conv2", "conv_sc"):
+        params[lyr] = {"kernel": _t_conv(state[f"{lyr}.weight"]),
+                       "bias": state[f"{lyr}.bias"]}
+        spectral[lyr] = {"sn": {"u": state[f"{lyr}.u0"].reshape(1, -1)}}
+    for bn in ("bn1", "bn2"):
+        params[bn] = {
+            "gain": {"kernel": state[f"{bn}.gain.weight"].T},
+            "bias": {"kernel": state[f"{bn}.bias.weight"].T}}
+        spectral[bn] = {
+            "gain": {"sn": {"u": state[f"{bn}.gain.u0"].reshape(1, -1)}},
+            "bias": {"sn": {"u": state[f"{bn}.bias.u0"].reshape(1, -1)}}}
+        stats[bn] = {"mean": state[f"{bn}.stored_mean"],
+                     "var": state[f"{bn}.stored_var"]}
+
+    blk = GBlock(in_channels=cin, out_channels=cout, upsample=True,
+                 use_sn=True, n_classes=0)
+    rnd = np.random.RandomState(8)
+    x_np = rnd.randn(2, cin, 8, 8).astype(np.float32)
+    y_np = rnd.randn(2, cdim).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np), torch.from_numpy(y_np)).numpy()
+    out = blk.apply({"params": params, "spectral": spectral,
+                     "batch_stats": stats},
+                    jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))),
+                    jnp.asarray(y_np), train=False, update_stats=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_biggan_attention_parity():
+    """SA-GAN non-local block vs the reference (biggan/layers.py:144-169):
+    SN 1x1 convs, max-pooled phi/g, softmax attention, gamma gate."""
+    from biggan import layers as ref_layers
+    from style_big_gan_tpu.models.attention import SelfAttention
+    from style_big_gan_tpu.tools.import_reference import _t_conv
+
+    torch.manual_seed(9)
+    ch = 16
+    ref = ref_layers.Attention(ch).eval()
+    with torch.no_grad():
+        ref.gamma.fill_(0.7)    # non-zero so the attention path matters
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    params, spectral = {"gamma": np.float32(0.7)}, {}
+    for lyr in ("theta", "phi", "g", "o"):
+        params[lyr] = {"kernel": _t_conv(state[f"{lyr}.weight"])}
+        spectral[lyr] = {"sn": {"u": state[f"{lyr}.u0"].reshape(1, -1)}}
+
+    att = SelfAttention(ch, use_sn=True)
+    x_np = np.random.RandomState(9).randn(2, ch, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np)).numpy()
+    out = att.apply({"params": params, "spectral": spectral},
+                    jnp.asarray(np.transpose(x_np, (0, 2, 3, 1))),
+                    update_stats=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref_out, rtol=1e-4, atol=1e-5)
