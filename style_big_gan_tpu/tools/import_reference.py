@@ -269,6 +269,105 @@ def convert_biggan_discriminator(state: Dict[str, np.ndarray]
     return params, spectral
 
 
+def convert_biggan_generator(state: Dict[str, np.ndarray]
+                             ) -> Tuple[Dict, Dict, Dict]:
+    """BigGAN-style G state_dict (reference generators.py:756-937,
+    G_shared=False / hier=False — the wiring mode that works upstream) ->
+    (params, spectral, batch_stats) trees matching
+    models/biggan.BigGANGenerator.
+
+    Reference layout: ``linear`` (SNLinear), ``blocks.{i}.0`` GBlocks with
+    index-mode ccbn (Embedding gain/bias) + optional ``blocks.{i}.1``
+    Attention, ``output_layer.0`` plain affine bn and ``output_layer.2``
+    SNConv."""
+    params: Dict[str, Any] = {}
+    spectral: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    u_bufs: Dict[str, list] = {}
+    for name, w in state.items():
+        parts = name.split(".")
+        if parts[-1].startswith("u") and parts[-1][1:].isdigit():
+            u_bufs.setdefault(".".join(parts[:-1]), []).append(
+                (int(parts[-1][1:]), np.asarray(w, np.float32).reshape(-1)))
+
+    # The first linear feeds the bottom_width**2 reshape: torch unflattens
+    # its output CHW, this framework HWC — permute the output features.
+    bw2 = None
+    if "linear.weight" in state and "blocks.0.0.conv1.weight" in state:
+        c0 = state["blocks.0.0.conv1.weight"].shape[1]
+        bw2 = state["linear.weight"].shape[0] // c0
+
+    def permute_out(w):
+        out = w.shape[0]
+        c = out // bw2
+        bw = int(np.sqrt(bw2))
+        return w.reshape(c, bw, bw, *w.shape[1:]).transpose(
+            1, 2, 0, *range(3, w.ndim + 2)).reshape(out, *w.shape[1:])
+
+    for name, w in state.items():
+        parts = name.split(".")
+        last = parts[-1]
+        if last.startswith("sv") or (last.startswith("u")
+                                     and last[1:].isdigit()):
+            continue
+        if parts[0] == "linear":
+            if last == "weight":
+                put(params, ["linear", "kernel"], _t_linear(permute_out(w)))
+            elif last == "bias":
+                put(params, ["linear", "bias"], permute_out(w))
+        elif parts[0] == "blocks":
+            i, j = parts[1], int(parts[2])
+            mod = ("block" if j == 0 else "attn") + i
+            if parts[3] == "gamma":
+                put(params, [mod, "gamma"], np.asarray(w).reshape(()))
+                continue
+            layer = parts[3]
+            if layer in ("bn1", "bn2"):
+                if last == "stored_mean":
+                    put(stats, [mod, layer, "mean"], w)
+                elif last == "stored_var":
+                    put(stats, [mod, layer, "var"], w)
+                elif parts[4] == "gain" and last == "weight":
+                    put(params, [mod, layer, "gain_embed"], w)
+                elif parts[4] == "bias" and last == "weight":
+                    put(params, [mod, layer, "bias_embed"], w)
+            elif last == "weight":
+                put(params, [mod, layer, "kernel"], _t_conv(w))
+            elif last == "bias":
+                put(params, [mod, layer, "bias"], w)
+        elif parts[0] == "output_layer":
+            if parts[1] == "0":
+                key = {"gain": "scale", "bias": "bias",
+                       "stored_mean": "mean", "stored_var": "var"}[last]
+                tree = params if last in ("gain", "bias") else stats
+                put(tree, ["out_bn", "bn", key], w)
+            elif parts[1] == "2":
+                if last == "weight":
+                    put(params, ["out_conv", "kernel"], _t_conv(w))
+                elif last == "bias":
+                    put(params, ["out_conv", "bias"], w)
+
+    for mod_path, us in u_bufs.items():
+        us = [u for _, u in sorted(us)]
+        parts = mod_path.split(".")
+        if parts[0] == "linear":
+            put(spectral, ["linear", "sn", "u"],
+                np.stack([permute_out(u) for u in us]))
+        elif parts[0] == "blocks":
+            mod = ("block" if int(parts[2]) == 0 else "attn") + parts[1]
+            put(spectral, [mod, parts[3], "sn", "u"], np.stack(us))
+        elif parts[0] == "output_layer":
+            put(spectral, ["out_conv", "sn", "u"], np.stack(us))
+    return params, spectral, stats
+
+
 # ---------------------------------------------------------------------------
 # TF-legacy pickles (reference: stylegan2ada/legacy.py:20-297).
 

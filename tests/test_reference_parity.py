@@ -691,3 +691,36 @@ def test_biggan_attention_parity():
                     update_stats=False)
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_biggan_generator_forward_parity_unshared():
+    """Full BigGAN G forward parity in the G_shared=False / hier=False mode
+    — the conditioning wiring that works upstream (the shared-embed mode is
+    broken in the reference and deliberately fixed here, so full-G parity
+    is only defined for this mode).  Eval-mode, converted via
+    convert_biggan_generator (reference: generators.py:756-937)."""
+    from train_parts import generators as ref_gen
+    from style_big_gan_tpu.tools.import_reference import \
+        convert_biggan_generator
+
+    torch.manual_seed(10)
+    ncls, zdim, ch = 6, 24, 8
+    ref = ref_gen.BigGAnGenerator(
+        G_ch=ch, z_dim=zdim, c_dim=ncls, n_classes=ncls, img_resolution=32,
+        G_attn="16", G_shared=False, hier=False).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, spectral, stats = convert_biggan_generator(state)
+
+    G = registries.generators["big_gan"](
+        G_ch=ch, z_dim=zdim, c_dim=ncls, n_classes=ncls, img_resolution=32,
+        img_channels=3, G_attn="16", G_shared=False, hier=False)
+    rnd = np.random.RandomState(10)
+    z_np = rnd.randn(2, zdim).astype(np.float32)
+    c_np = np.eye(ncls, dtype=np.float32)[rnd.randint(0, ncls, 2)]
+    with torch.no_grad():
+        ref_img = ref(torch.from_numpy(z_np), torch.from_numpy(c_np)).numpy()
+    img = G.apply({"params": params, "spectral": spectral,
+                   "batch_stats": stats},
+                  jnp.asarray(z_np), jnp.asarray(c_np), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
+                               ref_img, rtol=2e-4, atol=2e-4)
