@@ -599,14 +599,23 @@ def convert_tf_discriminator(tf_D) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
 def import_generator_pickle(path: str, key: str = "G_ema"):
     """Load a reference pickle (torch-persistence OR TF-legacy) and return
-    (init_kwargs, variables) for models/stylegan2.Generator."""
+    (registry_name, init_kwargs, variables).  SG2 and BigGAN generators are
+    auto-detected (class name when a persistence meta carries one, state
+    layout otherwise)."""
     tf_nets = load_tf_network_pkl(path)
     if tf_nets is not None:
         tf_G, _tf_D, tf_Gs = tf_nets
-        return convert_tf_generator(tf_Gs if key in ("G_ema", "Gs")
-                                    else tf_G)
+        kw, variables = convert_tf_generator(tf_Gs if key in ("G_ema", "Gs")
+                                             else tf_G)
+        return "sg2_classic", kw, variables
     data = load_reference_pickle(path)
     meta = data[key]
+    cname = ""
+    if isinstance(meta, dict):
+        cname = str(meta.get("class_name", "") or
+                    meta.get("state", {}).get("class_name", ""))
+    else:
+        cname = type(meta).__name__
     if isinstance(meta, dict) and "init_kwargs" in meta.get("state", {}):
         init_kwargs = dict(meta["state"]["init_kwargs"])
     elif isinstance(meta, dict):
@@ -614,9 +623,16 @@ def import_generator_pickle(path: str, key: str = "G_ema"):
     else:
         init_kwargs = {}
     state = torch_state_to_numpy(meta)
+    is_biggan = ("biggan" in cname.lower().replace("_", "") or
+                 any(k.startswith("blocks.") for k in state))
+    if is_biggan:
+        params, spectral, stats = convert_biggan_generator(state)
+        variables = {"params": params, "spectral": spectral,
+                     "batch_stats": stats}
+        return "big_gan", init_kwargs, variables
     params, moving, noise = convert_sg2_generator(state)
     variables = {"params": params, "moving": moving, "noise": noise}
-    return init_kwargs, variables
+    return "sg2_classic", init_kwargs, variables
 
 
 # --------------------------------------------------------------------- CLI
@@ -626,6 +642,9 @@ _GEN_FIELDS = ("z_dim", "w_dim", "c_dim", "img_resolution", "img_channels",
                "architecture", "attentions", "mapping_kwargs")
 _MAPPING_FIELDS = ("num_layers", "embed_features", "layer_features",
                    "activation", "lr_multiplier", "w_avg_beta")
+_BIGGAN_FIELDS = ("G_ch", "z_dim", "c_dim", "img_resolution", "img_channels",
+                  "bottom_width", "G_attn", "n_classes", "G_shared",
+                  "shared_dim", "hier", "G_param")
 
 
 def normalize_generator_kwargs(init_kwargs: Dict[str, Any]) -> Dict[str, Any]:
@@ -671,8 +690,15 @@ def main():
                    help="which network to import (G_ema, G)")
     args = p.parse_args()
 
-    init_kwargs, variables = import_generator_pickle(args.src, key=args.key)
-    kw = normalize_generator_kwargs(init_kwargs)
+    gen_name, init_kwargs, variables = import_generator_pickle(
+        args.src, key=args.key)
+    if gen_name == "big_gan":
+        dropped = sorted(set(init_kwargs) - set(_BIGGAN_FIELDS))
+        kw = {k: v for k, v in init_kwargs.items() if k in _BIGGAN_FIELDS}
+        if dropped:
+            print(f"import: dropped unsupported kwargs {dropped}")
+    else:
+        kw = normalize_generator_kwargs(init_kwargs)
     common = {k: int(kw.pop(k)) for k in
               ("c_dim", "img_resolution", "img_channels") if k in kw}
 
@@ -683,8 +709,8 @@ def main():
     snap = os.path.join(args.out_dir, "network-snapshot-000000.msgpack")
     ckpt.save_pytree(snap, payload)
     opts = {
-        "gen": {"generator": "sg2_classic"},
-        "gens_args": {"sg2_classic": kw},
+        "gen": {"generator": gen_name},
+        "gens_args": {gen_name: kw},
         "data": {"dataset": "image_folder"},
         "datasets_args": {"image_folder": {}},
         "model_meta": {

@@ -724,3 +724,42 @@ def test_biggan_generator_forward_parity_unshared():
                   jnp.asarray(z_np), jnp.asarray(c_np), train=False)
     np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
                                ref_img, rtol=2e-4, atol=2e-4)
+
+
+def test_import_cli_roundtrip_biggan(tmp_path, monkeypatch):
+    """Importer CLI auto-detects BigGAN pickles and the imported run dir
+    re-renders the reference output through tools.loader."""
+    import sys
+
+    from train_parts import generators as ref_gen
+    from style_big_gan_tpu.tools import import_reference as ir
+    from style_big_gan_tpu.tools import loader
+
+    torch.manual_seed(11)
+    ncls, zdim, ch = 4, 16, 8
+    init_kwargs = dict(G_ch=ch, z_dim=zdim, c_dim=ncls, n_classes=ncls,
+                       img_resolution=32, G_attn="0", G_shared=False,
+                       hier=False)
+    ref = ref_gen.BigGAnGenerator(**init_kwargs).eval()
+    meta = dict(type="class",
+                class_name="train_parts.generators.BigGAnGenerator",
+                state=dict(state_dict=ref.state_dict(),
+                           init_kwargs=init_kwargs))
+    src = tmp_path / "ref_biggan.pkl"
+    torch.save({"G_ema": meta}, str(src))
+
+    out = tmp_path / "imported"
+    monkeypatch.setattr(sys, "argv", [
+        "import_reference", "--src", str(src), "--out-dir", str(out)])
+    ir.main()
+
+    G, g_vars, opts = loader.load_generator(str(out))
+    assert opts["gen"]["generator"] == "big_gan"
+    rnd = np.random.RandomState(11)
+    z_np = rnd.randn(2, zdim).astype(np.float32)
+    c_np = np.eye(ncls, dtype=np.float32)[rnd.randint(0, ncls, 2)]
+    with torch.no_grad():
+        ref_img = ref(torch.from_numpy(z_np), torch.from_numpy(c_np)).numpy()
+    img = G.apply(g_vars, jnp.asarray(z_np), jnp.asarray(c_np), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
+                               ref_img, rtol=2e-4, atol=2e-4)
