@@ -635,6 +635,28 @@ def import_generator_pickle(path: str, key: str = "G_ema"):
     return "sg2_classic", init_kwargs, variables
 
 
+def import_discriminator_pickle(path: str, key: str = "D"):
+    """Load the discriminator from a reference pickle -> variables dict
+    ({'params': ...} plus SN/BN state collections), or None when the pickle
+    has no D (e.g. inference-only exports)."""
+    tf_nets = load_tf_network_pkl(path)
+    if tf_nets is not None:
+        _tf_G, tf_D, _tf_Gs = tf_nets
+        if tf_D is None:
+            return None
+        _kw, variables = convert_tf_discriminator(tf_D)
+        return variables
+    data = load_reference_pickle(path)
+    meta = data.get(key)
+    if meta is None:
+        return None
+    state = torch_state_to_numpy(meta)
+    if any(k.startswith("blocks.") for k in state):
+        params, spectral = convert_biggan_discriminator(state)
+        return {"params": params, "spectral": spectral}
+    return {"params": convert_sg2_discriminator(state)}
+
+
 # --------------------------------------------------------------------- CLI
 
 _GEN_FIELDS = ("z_dim", "w_dim", "c_dim", "img_resolution", "img_channels",
@@ -706,6 +728,22 @@ def main():
     params = variables.pop("params")
     payload = dict(params_g_ema=params, g_state_ema=variables,
                    params_g=params, g_state=variables)
+    # Transfer-learning payload: the live G (pre-EMA) and D when the pickle
+    # carries them, so `trans.resume=<snapshot>` continues training from a
+    # reference checkpoint (reference: trainers.py:342-369).
+    try:
+        _, _, g_live = import_generator_pickle(args.src, key="G")
+        payload["params_g"] = g_live.pop("params")
+        payload["g_state"] = g_live
+    except Exception:
+        pass    # inference-only export: G_ema doubles as the live G
+    try:
+        d_vars = import_discriminator_pickle(args.src)
+        if d_vars is not None:
+            payload["params_d"] = d_vars.pop("params")
+            payload["d_state"] = d_vars
+    except Exception as e:
+        print(f"import: no discriminator imported ({e})")
     snap = os.path.join(args.out_dir, "network-snapshot-000000.msgpack")
     ckpt.save_pytree(snap, payload)
     opts = {

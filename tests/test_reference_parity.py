@@ -763,3 +763,51 @@ def test_import_cli_roundtrip_biggan(tmp_path, monkeypatch):
     img = G.apply(g_vars, jnp.asarray(z_np), jnp.asarray(c_np), train=False)
     np.testing.assert_allclose(np.transpose(np.asarray(img), (0, 3, 1, 2)),
                                ref_img, rtol=2e-4, atol=2e-4)
+
+
+def test_import_cli_transfer_payload(ref_g, ref_d, tmp_path, monkeypatch):
+    """A full reference snapshot (G, D, G_ema) imports into a payload the
+    trainer's transfer-learning resume path consumes: live G and D params
+    land under params_g / params_d (reference: trainers.py:342-369)."""
+    import sys
+
+    from style_big_gan_tpu.tools import import_reference as ir
+    from style_big_gan_tpu.utils import checkpoint as ckpt
+
+    init_kwargs = dict(CFG, mapping_kwargs=dict(num_layers=2),
+                       synthesis_kwargs=dict(**CH, num_fp16_res=0,
+                                             architecture="skip"))
+
+    def g_meta(g):
+        return dict(type="class",
+                    class_name="train_parts.generators.Generator",
+                    state=dict(state_dict=g.state_dict(),
+                               init_kwargs=init_kwargs))
+
+    g_live = _build_reference_g().eval()
+    with torch.no_grad():                    # distinct weights from ref_g
+        for p in g_live.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+    d_meta = dict(type="class",
+                  class_name="train_parts.discriminators.Discriminator",
+                  state=dict(state_dict=ref_d.state_dict(), init_kwargs={}))
+    src = tmp_path / "full.pkl"
+    torch.save({"G": g_meta(g_live), "D": d_meta, "G_ema": g_meta(ref_g)},
+               str(src))
+
+    out = tmp_path / "imported"
+    monkeypatch.setattr(sys, "argv", [
+        "import_reference", "--src", str(src), "--out-dir", str(out)])
+    ir.main()
+
+    payload = ckpt.load_pytree_raw(
+        os.path.join(str(out), "network-snapshot-000000.msgpack"))
+    assert "params_d" in payload and payload["params_d"]
+    # live G != EMA G in the payload (distinct weight sets imported)
+    w_live = payload["params_g"]["mapping"]["fc0"]["weight"]
+    w_ema = payload["params_g_ema"]["mapping"]["fc0"]["weight"]
+    assert not np.allclose(np.asarray(w_live), np.asarray(w_ema))
+    # the D params match the reference state dict
+    ref_sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+    b4_fc = np.asarray(payload["params_d"]["b4"]["fc"]["weight"])
+    assert b4_fc.shape[::-1] == ref_sd["b4.fc.weight"].shape
