@@ -752,7 +752,10 @@ class BaseTrainer:
             gen_c = self._sample_gen_labels(
                 int(np.prod(real_img.shape[:-3])))
             if cycle_k > 1:
-                gen_c = gen_c.reshape(cycle_k, -1, gen_c.shape[-1])
+                # explicit batch dim: -1 cannot be inferred when
+                # label_dim == 0 (size-0 array)
+                gen_c = gen_c.reshape(cycle_k, real_img.shape[1],
+                                      gen_c.shape[-1])
                 batch = mesh_lib.shard_stacked_batch(
                     mesh, (real_img, real_c, gen_c))
             else:

@@ -811,3 +811,89 @@ def test_import_cli_transfer_payload(ref_g, ref_d, tmp_path, monkeypatch):
     ref_sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
     b4_fc = np.asarray(payload["params_d"]["b4"]["fc"]["weight"])
     assert b4_fc.shape[::-1] == ref_sd["b4.fc.weight"].shape
+
+
+def test_trainer_resumes_from_imported_reference_snapshot(
+        ref_g, ref_d, tmp_path, monkeypatch):
+    """Full migration path: reference pickle -> importer CLI -> the real
+    trainer transfer-learns from the imported snapshot
+    (reference: trainers.py:342-369 resume semantics)."""
+    import io
+    import json
+    import sys
+    import zipfile
+
+    import PIL.Image
+
+    from style_big_gan_tpu.arguments import load_config
+    from style_big_gan_tpu.tools import import_reference as ir
+
+    init_kwargs = dict(CFG, mapping_kwargs=dict(num_layers=2),
+                       synthesis_kwargs=dict(**CH, num_fp16_res=0,
+                                             architecture="skip"))
+    g_meta = dict(type="class",
+                  class_name="train_parts.generators.Generator",
+                  state=dict(state_dict=ref_g.state_dict(),
+                             init_kwargs=init_kwargs))
+    d_meta = dict(type="class",
+                  class_name="train_parts.discriminators.Discriminator",
+                  state=dict(state_dict=ref_d.state_dict(), init_kwargs={}))
+    src = tmp_path / "full.pkl"
+    torch.save({"G": g_meta, "D": d_meta, "G_ema": g_meta}, str(src))
+    imported = tmp_path / "imported"
+    monkeypatch.setattr(sys, "argv", [
+        "import_reference", "--src", str(src), "--out-dir", str(imported)])
+    ir.main()
+    snap = os.path.join(str(imported), "network-snapshot-000000.msgpack")
+
+    # tiny unlabeled dataset
+    zpath = tmp_path / "tiny.zip"
+    rnd = np.random.RandomState(0)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for i in range(16):
+            buf = io.BytesIO()
+            PIL.Image.fromarray(
+                (rnd.rand(32, 32, 3) * 255).astype("uint8")).save(
+                buf, format="png")
+            z.writestr(f"img{i:05d}.png", buf.getvalue())
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = load_config(argv=[
+        "exp.name=migrate", f"data.dataset_path={zpath}",
+        "datasets_args.image_folder.use_labels=false",
+        "gen.kimg=0.016", "gen.batch=8", "gen.batch_device=8",
+        "log.kimg_per_tick=1", "log.metrics=[]", "log.sample_grid=[2,2]",
+        f"log.output={tmp_path}/logs", "perf.devices=1",
+        "dataloaders_args.basic.num_workers=1",
+        f"trans.resume={snap}",
+        "aug.augpipe=color", "gen.d_reg_interval=2",
+        # match the reference net's geometry so every leaf transfers
+        "gens_args.sg2_classic.z_dim=32", "gens_args.sg2_classic.w_dim=32",
+        "gens_args.sg2_classic.channel_base=1024",
+        "gens_args.sg2_classic.channel_max=64",
+        "gens_args.sg2_classic.mapping_kwargs.num_layers=2",
+        "discs_args.sg2_classic.channel_base=1024",
+        "discs_args.sg2_classic.channel_max=64",
+        "discs_args.sg2_classic.epilogue_kwargs.mbstd_group_size=2",
+    ], yaml_path=os.path.join(cfg_dir, "sg2ada.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.setup_arguments(cfg)
+    trainer.setup_logs()
+    trainer.setup_mesh()
+    trainer.init_params()
+    trainer.setup_dataset()
+    trainer.setup_networks()
+
+    # the imported reference weights actually landed in the trainer
+    ref_fc0 = ref_g.state_dict()["mapping.fc0.weight"].numpy().T
+    np.testing.assert_allclose(
+        np.asarray(trainer.params_g["mapping"]["fc0"]["weight"]), ref_fc0,
+        rtol=0, atol=0)
+
+    trainer.setup_augmentations()
+    trainer.setup_training_phases()
+    trainer.training_loop()
+    with open(os.path.join(trainer.run_dir, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert np.isfinite(last["Loss/D/loss"])
+    trainer.logger.close()
