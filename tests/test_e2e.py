@@ -242,3 +242,25 @@ def test_sg2attent_tiny_end_to_end(tiny_zip, tmp_path):
     flat = _jax.tree_util.tree_leaves_with_path(trainer.state.params_g)
     assert any("att" in _jax.tree_util.keystr(p).lower() for p, _ in flat)
     trainer.logger.close()
+
+
+def test_sngan_end_to_end(tiny_zip, tmp_path):
+    """SN-GAN recipe through the full trainer: hinge loss, spectral-norm
+    resnets, n_dis=5 critic schedule — with the steps-per-dispatch cycle
+    the config enables (one critic window per program here: k=10 doubles
+    the XLA:CPU compile time for no extra coverage)
+    (reference: configs/sngan.yaml)."""
+    extra = [
+        "gen.kimg=0.08",
+        "perf.steps_per_dispatch=5",
+    ]
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+                      yaml_path=os.path.join(CFG_DIR, "sngan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    assert trainer.cycle_k == 5
+    run_dir = trainer.run_dir
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert "Loss/D/loss" in last and np.isfinite(last["Loss/D/loss"])
+    trainer.logger.close()
