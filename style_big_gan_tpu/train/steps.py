@@ -6,6 +6,8 @@ nan_to_num / opt.step / G_ema lerp) collapses into four jitted step functions
 over `GANTrainState`:
 
     g_step, g_reg_step, d_step, d_reg_step   (+ 'both' fusions via flags)
+    cycle_step: k batches of the [Dmain x n_dis + Gmain] schedule scanned
+        inside ONE program (steps-per-dispatch; see _cycle)
 
 * gradient accumulation = `lax.scan` over microbatch rounds, averaging grads
   (multi-device mean semantics; the reference *sums* rounds — an
