@@ -300,3 +300,30 @@ def test_ffhq_sg2_tiny_end_to_end(tiny_zip, tmp_path):
     payload = ckpt.load_pytree_raw(os.path.join(run_dir, snaps[-1]))
     assert "reg_state" in payload
     trainer.logger.close()
+
+
+def test_resume_continues_training_with_cycle(tiny_zip, tmp_path):
+    """trans.resume=from_data continues a steps-per-dispatch run through
+    more real training batches: batch_idx resumes mid-schedule and the
+    window-granular reg/due logic keeps working (reference:
+    trainers.py:156-175 resume semantics)."""
+    base = ["perf.steps_per_dispatch=2", "gen.kimg=0.032"]
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, base),
+                      yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    trainer.logger.close()
+
+    cfg2 = load_config(argv=_overrides(tiny_zip, tmp_path, base + [
+        "gen.kimg=0.064", "trans.resume=from_data",
+        f"trans.resume_dir={run_dir}"]),
+        yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
+    trainer2 = registries.trainers[str(cfg2.exp.trainer)]()
+    trainer2.run(cfg2)
+    assert trainer2.cycle_k == 2
+    run_dir2 = trainer2.run_dir
+    with open(os.path.join(run_dir2, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert np.isfinite(last["Loss/D/loss"])
+    trainer2.logger.close()
