@@ -81,7 +81,29 @@ def build():
     return jax, steps, state
 
 
+def _backend_alive(timeout_s: float = 180.0) -> bool:
+    """Probe jax backend init in a subprocess: a dead axon tunnel makes
+    jax.devices() hang forever (round-2 infra incident, BASELINE.md), and a
+    hung benchmark is worse than a failed one."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "sg2ada_ffhq256_train_throughput",
+            "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
+            "error": "TPU backend unreachable (jax.devices() hang — see "
+                     "BASELINE.md round-2 infra note; last live "
+                     "measurement: 82.33 imgs/sec/chip)"}))
+        sys.exit(1)
     jax, steps, state = build()
     import jax.numpy as jnp
     rnd = np.random.RandomState(0)
