@@ -32,42 +32,60 @@ BATCH = 8                                # per-chip batch (paper256: 64/8)
 WARMUP_CYCLES = 1
 TIMED_CYCLES = 3
 CYCLE = 16                               # one lazy-reg period
+K_STEPS_PER_DISPATCH = 4                 # perf.steps_per_dispatch in the config
+
+
+CONFIG = "ffhq256_sg2ada.yaml"            # the shipped flagship recipe
 
 
 def build():
+    """Build the benchmark model + steps from ``configs/ffhq256_sg2ada.yaml``
+    so the benchmark measures the shipped product, not a hand-rolled twin
+    (reference anchor: paper256, stylegan2ada/train.py:154-161)."""
+    import os
+
     import jax
     import jax.numpy as jnp
     import optax
     from style_big_gan_tpu import registries
     registries._import_all()
+    from style_big_gan_tpu.arguments import load_config
     from style_big_gan_tpu.train.trainer import enable_compilation_cache
     enable_compilation_cache()
     from style_big_gan_tpu.augment.ada import AUGPIPE_SPECS, AugmentPipe
     from style_big_gan_tpu.train.loss_arch import split_vars
     from style_big_gan_tpu.train.state import create_train_state
     from style_big_gan_tpu.train.steps import StepBuilder
+    from style_big_gan_tpu.utils.conf import to_container
 
-    G = registries.generators["sg2_classic"](
-        z_dim=512, w_dim=512, c_dim=0, img_resolution=RES, img_channels=3,
-        num_fp16_res=4, conv_clamp=256, mapping_kwargs={"num_layers": 8})
-    D = registries.discriminators["sg2_classic"](
-        c_dim=0, img_resolution=RES, img_channels=3, num_fp16_res=4,
-        conv_clamp=256)
+    here = os.path.dirname(os.path.abspath(__file__))
+    c = load_config([f"exp.config_dir={os.path.join(here, 'configs')}",
+                     f"exp.config={CONFIG}", "exp.name=bench"])
+    common = dict(c_dim=0, img_resolution=RES, img_channels=3)
+    G = registries.generators[str(c.gen.generator)](
+        **dict(to_container(c.gens_args[str(c.gen.generator)])), **common)
+    D = registries.discriminators[str(c.gen.discriminator)](
+        **dict(to_container(c.discs_args[str(c.gen.discriminator)])), **common)
 
-    arch = registries.losses_arch["sg2"](style_mixing_prob=0.9)
-    pipe = AugmentPipe(**AUGPIPE_SPECS["bgc"])
-    arch.initialize(G, D, registries.losses["softplus"](),
-                    [registries.generator_regs["ppl"]()],
-                    [registries.discriminator_regs["r1"]()], pipe)
+    arch = registries.losses_arch[str(c.gen.loss_arch)](
+        **dict(to_container(c.losses_arch_args[str(c.gen.loss_arch)])))
+    pipe = AugmentPipe(**AUGPIPE_SPECS[str(c.aug.augpipe)])
+    gen_regs = [registries.generator_regs[r](
+        **dict(to_container(c.gen_regs_all[r]))) for r in c.gen.gen_regs]
+    disc_regs = [registries.discriminator_regs[r](
+        **dict(to_container(c.disc_regs_all[r]))) for r in c.gen.disc_regs]
+    arch.initialize(G, D, registries.losses[str(c.gen.loss)](),
+                    gen_regs, disc_regs, pipe)
 
-    z = jnp.zeros((BATCH, 512), jnp.float32)
+    z = jnp.zeros((BATCH, G.z_dim), jnp.float32)
     img = jnp.zeros((BATCH, RES, RES, 3), jnp.float32)
     g_vars = G.init({"params": jax.random.PRNGKey(0),
                      "noise": jax.random.PRNGKey(1)}, z, None)
     d_vars = D.init({"params": jax.random.PRNGKey(2)}, img, None)
     pg, gs = split_vars(g_vars)
     pd, ds = split_vars(d_vars)
-    opt = optax.adam(2.5e-3, b1=0.0, b2=0.99)
+    ga = dict(to_container(c.optim_gen_args[str(c.gen.optim_gen)]))
+    opt = optax.adam(ga["lr"], b1=ga["betas"][0], b2=ga["betas"][1])
     state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds, opt,
                                opt, gen_regs=arch.gen_regs, ada_p=0.3)
     # cycle_g_reg_tail stays off: fusing the PPL vjp-of-vjp into the cycle
@@ -76,23 +94,34 @@ def build():
     # donate=False: donating reg programs chained with the scanned cycle
     # program also fail with INVALID_ARGUMENT on this backend (probed:
     # donation off costs no measurable throughput here).
-    steps = StepBuilder(arch, opt, opt, z_dim=512, num_accum_rounds=1,
-                        g_reg_gain=4.0, d_reg_gain=16.0, donate=False)
+    steps = StepBuilder(arch, opt, opt, z_dim=G.z_dim, num_accum_rounds=1,
+                        g_reg_gain=float(c.gen.g_reg_interval),
+                        d_reg_gain=float(c.gen.d_reg_interval), donate=False)
+    assert int(c.perf.steps_per_dispatch) == K_STEPS_PER_DISPATCH
     return jax, steps, state
 
 
-def _backend_alive(timeout_s: float = 180.0) -> bool:
+def _backend_alive(timeout_s: float = 180.0, retries: int = 2,
+                   retry_delay_s: float = 60.0) -> bool:
     """Probe jax backend init in a subprocess: a dead axon tunnel makes
     jax.devices() hang forever (round-2 infra incident, BASELINE.md), and a
-    hung benchmark is worse than a failed one."""
+    hung benchmark is worse than a failed one.  The probe retries once after
+    a delay — a relay that is mid-respawn can come back within a minute."""
     import subprocess
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < retries:
+            print(f"backend probe failed (attempt {attempt + 1}/{retries}); "
+                  f"retrying in {retry_delay_s:.0f}s", file=sys.stderr)
+            time.sleep(retry_delay_s)
+    return False
 
 
 def main():
@@ -112,7 +141,7 @@ def main():
     # wall time is axon-tunnel dispatch latency otherwise
     # (benchmarks/bench_decomp.py).  Dreg (R1, every 16) stays its own
     # dispatch.
-    K = 4
+    K = K_STEPS_PER_DISPATCH
     reals = jnp.asarray(rnd.randn(K, BATCH, RES, RES, 3).astype(np.float32))
     cs = jnp.zeros((K, BATCH, 0), np.float32)
     betas = jnp.full((K,), 0.998, jnp.float32)

@@ -20,6 +20,13 @@ from style_big_gan_tpu.arguments import load_config
 
 
 def main(argv=None):
+    # Some PJRT plugins (e.g. the axon TPU tunnel) ignore JAX_PLATFORMS;
+    # SBG_PLATFORM=cpu forces the platform via jax.config before first
+    # backend use, so CPU smoke runs work even with such a plugin installed.
+    plat = os.environ.get("SBG_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     # Multi-host rendezvous (replaces the reference's NCCL file rendezvous,
     # trainers.py:479-496): launch this script once per host with
     # SBG_DIST=1 and the standard JAX coordinator env vars set.

@@ -302,6 +302,45 @@ def test_ffhq_sg2_tiny_end_to_end(tiny_zip, tmp_path):
     trainer.logger.close()
 
 
+def test_ffhq256_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
+    """Flagship FFHQ-256 ADA recipe (configs/ffhq256_sg2ada.yaml — the file
+    bench.py builds its headline benchmark model from) through the full
+    trainer at tiny scale: ADA pipe + controller, PPL + R1 lazy regs, and
+    the shipped perf.steps_per_dispatch=4 cycle (reference anchor: the
+    paper256 preset, stylegan2ada/train.py:154-161)."""
+    extra = [
+        "gens_args.sg2_classic.z_dim=32", "gens_args.sg2_classic.w_dim=32",
+        "gens_args.sg2_classic.channel_base=256",
+        "gens_args.sg2_classic.channel_max=32",
+        "gens_args.sg2_classic.num_fp16_res=0",     # CPU mesh: f32 numerics
+        "gens_args.sg2_classic.mapping_kwargs.num_layers=2",
+        "discs_args.sg2_classic.channel_base=256",
+        "discs_args.sg2_classic.channel_max=32",
+        "discs_args.sg2_classic.num_fp16_res=0",
+        "discs_args.sg2_classic.epilogue_kwargs.mbstd_group_size=2",
+        "gen.d_reg_interval=4",
+        "aug.ada_interval=1",
+        # The geometric warp compiles very slowly on the CPU test mesh (it
+        # is unit-tested in test_augment.py / test_warp_pallas.py); the
+        # color pipe keeps ADA active without it.
+        "aug.augpipe=color",
+        "gen.kimg=0.096",       # 12 batches: hits both reg intervals
+    ]
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+                      yaml_path=os.path.join(CFG_DIR, "ffhq256_sg2ada.yaml"))
+    assert int(cfg.perf.steps_per_dispatch) == 4       # shipped cycle kept
+    trainer = registries.trainers[str(cfg.exp.trainer)]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        last = [json.loads(l) for l in f][-1]
+    assert np.isfinite(last["Loss/D/loss"])
+    assert "Loss/pl_penalty" in last                   # PPL fired
+    assert "Progress/augment" in last                  # ADA controller ran
+    assert float(trainer.state.reg_state["pl_mean"]) != 0.0
+    trainer.logger.close()
+
+
 def test_resume_continues_training_with_cycle(tiny_zip, tmp_path):
     """trans.resume=from_data continues a steps-per-dispatch run through
     more real training batches: batch_idx resumes mid-schedule and the
