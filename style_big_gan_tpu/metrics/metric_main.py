@@ -142,9 +142,17 @@ def _compute_is(opts: MetricOptions, num_gen: int, num_splits: int = 10):
 
 
 def _compute_pr(opts: MetricOptions, max_real: Optional[int], num_gen: int,
-                nhood_size: int = 3, row_batch_size: int = 10000,
-                col_batch_size: int = 10000):
-    """reference: precision_recall.py:19-60 (k-NN manifold test)."""
+                nhood_size: int = 3, row_batch_size: int = 4096,
+                col_batch_size: int = 8192):
+    """reference: precision_recall.py:19-60 (k-NN manifold test).
+
+    The distance/kNN blocks run as jitted TPU programs (metrics/knn.py) —
+    the reference streams fp16 torch.cdist blocks across GPUs; here each
+    block is an f32 MXU matmul with a streaming smallest-k scan, so the
+    full pr50k3 budget (200k x 50k) is minutes of device time, not hours
+    of host numpy."""
+    from style_big_gan_tpu.metrics import knn
+
     max_real, num_gen = _budget(opts, max_real, num_gen)
     detector = get_feature_detector(opts.detector, opts.detector_path)
     real = metric_utils.compute_feature_stats_for_dataset(
@@ -152,30 +160,15 @@ def _compute_pr(opts: MetricOptions, max_real: Optional[int], num_gen: int,
     gen = metric_utils.compute_feature_stats_for_generator(
         opts, detector, max_items=num_gen, capture_all=True).get_all()
 
-    def knn_radii(feats):
-        radii = np.zeros(feats.shape[0])
-        for i in range(0, feats.shape[0], row_batch_size):
-            row = feats[i:i + row_batch_size]
-            d = np.sqrt(np.maximum(
-                np.sum(row ** 2, 1)[:, None] + np.sum(feats ** 2, 1)[None]
-                - 2 * row @ feats.T, 0))
-            radii[i:i + row_batch_size] = np.sort(d, axis=1)[:, nhood_size]
-        return radii
-
-    def in_manifold(probes, feats, radii):
-        hits = np.zeros(probes.shape[0], bool)
-        for i in range(0, probes.shape[0], row_batch_size):
-            row = probes[i:i + row_batch_size]
-            d = np.sqrt(np.maximum(
-                np.sum(row ** 2, 1)[:, None] + np.sum(feats ** 2, 1)[None]
-                - 2 * row @ feats.T, 0))
-            hits[i:i + row_batch_size] = (d <= radii[None]).any(axis=1)
-        return hits
-
-    radii_real = knn_radii(real)
-    radii_gen = knn_radii(gen)
-    precision = float(in_manifold(gen, real, radii_real).mean())
-    recall = float(in_manifold(real, gen, radii_gen).mean())
+    radii_real = knn.knn_radii_sq(real, nhood_size, row_batch_size,
+                                  col_batch_size)
+    radii_gen = knn.knn_radii_sq(gen, nhood_size, row_batch_size,
+                                 col_batch_size)
+    precision = float(knn.manifold_hits(gen, real, radii_real,
+                                        row_batch_size,
+                                        col_batch_size).mean())
+    recall = float(knn.manifold_hits(real, gen, radii_gen, row_batch_size,
+                                     col_batch_size).mean())
     return precision, recall
 
 

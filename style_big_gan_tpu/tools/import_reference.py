@@ -694,6 +694,53 @@ def normalize_generator_kwargs(init_kwargs: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def build_import_payload(src: str, key: str = "G_ema"):
+    """Convert a reference pickle into (gen_name, init_kwargs, common,
+    payload) — the checkpoint pytree setup_networks / tools/loader.py
+    consume.  Includes the live G and D when the pickle carries them, so
+    `trans.resume=<snapshot>` continues training from a reference
+    checkpoint (reference: trainers.py:342-369)."""
+    gen_name, init_kwargs, variables = import_generator_pickle(src, key=key)
+    if gen_name == "big_gan":
+        dropped = sorted(set(init_kwargs) - set(_BIGGAN_FIELDS))
+        kw = {k: v for k, v in init_kwargs.items() if k in _BIGGAN_FIELDS}
+        if dropped:
+            print(f"import: dropped unsupported kwargs {dropped}")
+    else:
+        kw = normalize_generator_kwargs(init_kwargs)
+    common = {k: int(kw.pop(k)) for k in
+              ("c_dim", "img_resolution", "img_channels") if k in kw}
+
+    params = variables.pop("params")
+    payload = dict(params_g_ema=params, g_state_ema=variables,
+                   params_g=params, g_state=variables)
+    try:
+        _, _, g_live = import_generator_pickle(src, key="G")
+        payload["params_g"] = g_live.pop("params")
+        payload["g_state"] = g_live
+    except Exception:
+        pass    # inference-only export: G_ema doubles as the live G
+    try:
+        d_vars = import_discriminator_pickle(src)
+        if d_vars is not None:
+            payload["params_d"] = d_vars.pop("params")
+            payload["d_state"] = d_vars
+    except Exception as e:
+        print(f"import: no discriminator imported ({e})")
+    return gen_name, kw, common, payload
+
+
+def import_pickle_to_checkpoint(src: str, out_path: str,
+                                key: str = "G_ema") -> str:
+    """One-file conversion used by the resume-spec resolver
+    (utils/resolver.py): reference .pkl -> native .msgpack checkpoint."""
+    from style_big_gan_tpu.utils import checkpoint as ckpt
+
+    _, _, _, payload = build_import_payload(src, key=key)
+    ckpt.save_pytree(out_path, payload)
+    return out_path
+
+
 def main():
     """Convert a reference network pickle into a run directory this
     framework's tools (generate/style_mixing/projector/calc_metrics) load
@@ -712,38 +759,9 @@ def main():
                    help="which network to import (G_ema, G)")
     args = p.parse_args()
 
-    gen_name, init_kwargs, variables = import_generator_pickle(
-        args.src, key=args.key)
-    if gen_name == "big_gan":
-        dropped = sorted(set(init_kwargs) - set(_BIGGAN_FIELDS))
-        kw = {k: v for k, v in init_kwargs.items() if k in _BIGGAN_FIELDS}
-        if dropped:
-            print(f"import: dropped unsupported kwargs {dropped}")
-    else:
-        kw = normalize_generator_kwargs(init_kwargs)
-    common = {k: int(kw.pop(k)) for k in
-              ("c_dim", "img_resolution", "img_channels") if k in kw}
-
+    gen_name, kw, common, payload = build_import_payload(args.src,
+                                                         key=args.key)
     os.makedirs(args.out_dir, exist_ok=True)
-    params = variables.pop("params")
-    payload = dict(params_g_ema=params, g_state_ema=variables,
-                   params_g=params, g_state=variables)
-    # Transfer-learning payload: the live G (pre-EMA) and D when the pickle
-    # carries them, so `trans.resume=<snapshot>` continues training from a
-    # reference checkpoint (reference: trainers.py:342-369).
-    try:
-        _, _, g_live = import_generator_pickle(args.src, key="G")
-        payload["params_g"] = g_live.pop("params")
-        payload["g_state"] = g_live
-    except Exception:
-        pass    # inference-only export: G_ema doubles as the live G
-    try:
-        d_vars = import_discriminator_pickle(args.src)
-        if d_vars is not None:
-            payload["params_d"] = d_vars.pop("params")
-            payload["d_state"] = d_vars
-    except Exception as e:
-        print(f"import: no discriminator imported ({e})")
     snap = os.path.join(args.out_dir, "network-snapshot-000000.msgpack")
     ckpt.save_pytree(snap, payload)
     opts = {

@@ -245,16 +245,23 @@ class BaseTrainer:
         a.resume_dir = str(c.trans.resume_dir)
         a.freezed = int(c.trans.freezed)
         a.start_options = dict(cur_nimg=0, cur_tick=0, batch_idx=0)
+        a.wandb_run_id = None
         if a.resume == "from_data":
             rd = a.resume_dir or str(c.log.output)
             opts = ckpt.load_json(os.path.join(rd, str(c.trans.args_name)))
             a.start_options = opts.get("start_options", a.start_options)
+            # Continue the same wandb run on resume
+            # (reference: trainers.py:449-460).
+            a.wandb_run_id = opts.get("wandb_run_id")
             snaps = sorted(f for f in os.listdir(rd)
                            if f.startswith("network-snapshot-"))
             if snaps:
                 a.resume_model = os.path.join(rd, snaps[-1])
         if a.resume not in ("noresume", "from_data") and not a.resume_model:
-            a.resume_model = a.resume    # direct path
+            # Named spec / URL / local path, through the one resolver
+            # (reference: trainers.py:342-362 + dnnlib open_url).
+            from style_big_gan_tpu.utils import resolver
+            a.resume_model = resolver.resolve_resume_spec(a.resume)
         if a.resume != "noresume":
             a.ada_kimg = 100             # reference: trainers.py:363-365
             a.ema_rampup = None
@@ -287,12 +294,18 @@ class BaseTrainer:
         opts["model_meta"] = dict(label_dim=int(a.label_dim),
                                   resolution=int(a.resolution),
                                   img_channels=int(a.img_channels))
-        ckpt.save_json(os.path.join(self.run_dir, "training_options.json"),
-                       opts)
         self.stats_jsonl = log_utils.StatsJsonl(
             os.path.join(self.run_dir, "stats.jsonl"))
+        # resume_id continues the run resumed via trans.resume=from_data
+        # (reference: trainers.py:449-460); the live run's id is persisted
+        # into training_options.json so the NEXT resume finds it.
         self.wandb_run = log_utils.make_wandb(a.wandb, a.project, a.name,
-                                              dict(to_container(self.config)))
+                                              dict(to_container(self.config)),
+                                              resume_id=a.wandb_run_id)
+        if self.wandb_run is not None:
+            opts["wandb_run_id"] = str(self.wandb_run.id)
+        ckpt.save_json(os.path.join(self.run_dir, "training_options.json"),
+                       opts)
         self.tb = log_utils.make_tensorboard(a.tensorboard, self.run_dir)
         print(f"Run dir: {self.run_dir}")
 

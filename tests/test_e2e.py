@@ -188,22 +188,51 @@ def test_batch_math_hard_error(tiny_zip, tmp_path):
     assert args.num_accum_rounds == 2
 
 
-def test_resume_from_snapshot(tiny_zip, tmp_path):
-    cfg = load_config(argv=_overrides(tiny_zip, tmp_path),
+def test_resume_from_snapshot(tiny_zip, tmp_path, monkeypatch):
+    # Fake wandb to verify resume-id persistence without the package
+    # (reference: trainers.py:449-460).
+    import sys
+    import types
+
+    class _FakeRun:
+        def __init__(self, rid):
+            self.id = rid
+
+        def log(self, *a, **kw):
+            pass
+
+    fake = types.ModuleType("wandb")
+    fake.init_calls = []
+
+    def _init(**kw):
+        fake.init_calls.append(kw)
+        return _FakeRun(kw.get("id") or "wbrun0001")
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg = load_config(argv=_overrides(tiny_zip, tmp_path,
+                                      ["log.wandb=true"]),
                       yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
     trainer = registries.trainers[str(cfg.exp.trainer)]()
     trainer.run(cfg)
     run_dir = trainer.run_dir
     trainer.logger.close()
+    with open(os.path.join(run_dir, "training_options.json")) as f:
+        assert json.load(f)["wandb_run_id"] == "wbrun0001"
 
     cfg2 = load_config(argv=_overrides(tiny_zip, tmp_path, [
-        "trans.resume=from_data", f"trans.resume_dir={run_dir}"]),
+        "trans.resume=from_data", f"trans.resume_dir={run_dir}",
+        "log.wandb=true"]),
         yaml_path=os.path.join(CFG_DIR, "dcgan.yaml"))
     trainer2 = registries.trainers[str(cfg2.exp.trainer)]()
     args = trainer2.setup_arguments(cfg2)
     assert args.start_options["cur_nimg"] > 0
     assert args.resume_model.endswith(".msgpack")
+    assert args.wandb_run_id == "wbrun0001"
     trainer2.setup_logs()
+    # The resumed run reattaches to the SAME wandb run.
+    assert fake.init_calls[-1].get("id") == "wbrun0001"
+    assert fake.init_calls[-1].get("resume") == "must"
     trainer2.setup_mesh()
     trainer2.init_params()
     trainer2.setup_dataset()

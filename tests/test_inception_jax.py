@@ -69,6 +69,51 @@ def test_param_count_matches_inception_v3(params):
     assert 21_000_000 < n < 26_000_000, n
 
 
+def test_arch_parity_vs_torch_oracle_random_weights(tmp_path):
+    """Weights-independent end-to-end graph parity (VERDICT r2 #4): a torch
+    twin of the FID-inception architecture with RANDOM weights (random BN
+    stats too, so folding is non-trivial) -> state_dict -> converter -> the
+    flax port must produce the same features and logits.  This proves the
+    architecture + converter are correct; the weights-gated golden test
+    below covers real numerics when a weights file exists."""
+    import torch
+    from torch_detector_oracles import (TorchInceptionV3FID,
+                                        randomize_inception_)
+
+    model = randomize_inception_(TorchInceptionV3FID(), seed=0)
+    src = str(tmp_path / "incep_sd.pt")
+    torch.save(model.state_dict(), src)
+    params = convert_torch_inception(src)
+
+    rnd = np.random.RandomState(1)
+    x = (rnd.rand(2, 299, 299, 3) * 2 - 1).astype(np.float32)
+    with torch.no_grad():
+        f_t, l_t = model(torch.tensor(x.transpose(0, 3, 1, 2)),
+                         return_logits=True)
+    f_j, l_j = InceptionV3FID().apply(params, jnp.asarray(x),
+                                      return_logits=True)
+    np.testing.assert_allclose(np.asarray(f_j), f_t.numpy(), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l_j), l_t.numpy(), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_preprocess_matches_torch_interpolate():
+    """jax preprocess (bilinear, no antialias, half-pixel centers) must
+    match torch F.interpolate(mode='bilinear', align_corners=False) — the
+    resize convention of the FID ports."""
+    import torch
+    import torch.nn.functional as F
+    imgs = (np.random.RandomState(0).rand(2, 64, 64, 3) * 255).astype(
+        np.uint8)
+    got = np.asarray(preprocess(jnp.asarray(imgs)))
+    t = torch.tensor(imgs.transpose(0, 3, 1, 2).astype(np.float32))
+    want = F.interpolate(t, size=(299, 299), mode="bilinear",
+                         align_corners=False)
+    want = (want / 127.5 - 1.0).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 _INCEPTION_PT = os.environ.get("SBG_INCEPTION_PT",
                                "/root/weights/inception-2015-12-05.pt")
 

@@ -101,6 +101,37 @@ def test_pr_runs():
     assert 0.0 <= res.results.pr50k3_recall <= 1.0
 
 
+def test_knn_device_matches_numpy_oracle():
+    """Jitted tiled kNN (metrics/knn.py) == brute-force numpy, including
+    ragged row/col tiles (reference: precision_recall.py:19-60)."""
+    from style_big_gan_tpu.metrics import knn
+    rng = np.random.RandomState(0)
+    feats = rng.randn(37, 16).astype(np.float32)
+    probes = rng.randn(23, 16).astype(np.float32)
+
+    d_ff = np.linalg.norm(feats[:, None] - feats[None], axis=-1)
+    want_radii = np.sort(d_ff, axis=1)[:, 3]  # kth incl. self-distance 0
+    got = np.sqrt(knn.knn_radii_sq(feats, nhood_size=3, row_tile=8,
+                                   col_tile=16))
+    np.testing.assert_allclose(got, want_radii, rtol=1e-4, atol=1e-5)
+
+    d_pf = np.linalg.norm(probes[:, None] - feats[None], axis=-1)
+    want_hits = (d_pf <= want_radii[None]).any(axis=1)
+    got_hits = knn.manifold_hits(probes, feats, want_radii ** 2, row_tile=8,
+                                 col_tile=16)
+    # Ties at the radius boundary are measure-zero for gaussian data.
+    np.testing.assert_array_equal(got_hits, want_hits)
+
+
+def test_pr_self_distribution_is_perfect():
+    """probes == manifold -> precision == recall == 1 (every point is its
+    own 0-distance neighbour, radius >= 0)."""
+    from style_big_gan_tpu.metrics import knn
+    feats = np.random.RandomState(1).randn(40, 8).astype(np.float32)
+    radii = knn.knn_radii_sq(feats, nhood_size=3)
+    assert knn.manifold_hits(feats, feats, radii).all()
+
+
 def test_sharded_dataset_stats_merge_matches_unsharded():
     """Two single-process shards merged == unsharded stats (VERDICT r1
     missing #4; reference rank-interleaved gathers metric_utils.py:96-106,

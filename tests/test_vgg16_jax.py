@@ -114,6 +114,34 @@ def test_converter_richzhang_naming(tmp_path):
     np.testing.assert_allclose(np.asarray(p["lin0"]), lin0_src, rtol=1e-6)
 
 
+def test_arch_parity_vs_torch_oracle_random_weights(tmp_path):
+    """Weights-independent graph parity (VERDICT r2 #4): torch LPIPS-VGG
+    twin with random weights -> richzhang-named state_dict -> converter ->
+    the flax port must produce the same LPIPS embedding, so the squared-L2
+    distances (PPL / projector losses) agree across frameworks."""
+    import torch
+    from torch_detector_oracles import TorchVGG16LPIPS
+
+    model = TorchVGG16LPIPS(seed=0)
+    src = str(tmp_path / "lpips_sd.pt")
+    torch.save(model.state_dict_richzhang(), src)
+    params = convert_torch_vgg16(src)
+
+    rnd = np.random.RandomState(2)
+    x = (rnd.rand(2, 64, 64, 3) * 2 - 1).astype(np.float32)
+    with torch.no_grad():
+        e_t = model(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    e_j = np.asarray(VGG16LPIPS().apply(params, jnp.asarray(x)))
+    assert e_j.shape == e_t.shape
+    # Embedding layouts differ (NCHW vs NHWC flatten); distances are the
+    # contract, and per-tap norms must agree exactly.
+    np.testing.assert_allclose(np.sum(e_j ** 2, axis=1),
+                               np.sum(e_t ** 2, axis=1), rtol=1e-4)
+    d_j = float(np.sum((e_j[0] - e_j[1]) ** 2))
+    d_t = float(np.sum((e_t[0] - e_t[1]) ** 2))
+    np.testing.assert_allclose(d_j, d_t, rtol=1e-4)
+
+
 def test_lpips_embedding_matches_torch_lpips_formula():
     """Golden identity: ||e0-e1||^2 must equal the explicit LPIPS formula
     sum_l mean_hw sum_c w_lc * (n0 - n1)^2 with the ORIGINAL (non-sqrt)
