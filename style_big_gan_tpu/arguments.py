@@ -97,7 +97,9 @@ class PerfArgs:
     devices: int = -1            # -1 -> all visible devices
     data_axis: str = "data"      # mesh axis for batch sharding
     model_axis: str = "model"    # mesh axis for weight sharding (tensor parallel)
-    model_parallel: int = 1      # size of the model axis
+    model_parallel: int = 1      # size of the model axis (EXPERIMENTAL:
+    # equality-tested on the CPU mesh, unbenchmarked on real multi-chip
+    # hardware — see docs/parallelism.md "Tensor parallelism status")
     use_pallas: bool = True      # pallas kernels where available (else pure XLA)
     donate: bool = False         # donate state buffers into jitted steps
     # (off by default: the axon-tunneled TPU backend rejects full-state
