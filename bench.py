@@ -184,6 +184,10 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_chip /
                              A100_REF_IMGS_PER_SEC_PER_CHIP, 3),
+        "baseline_note": "vs an ESTIMATED A100 anchor (21 imgs/s/chip = "
+                         "2x the upstream paper256 V100 figure); the "
+                         "reference publishes no numbers and this image "
+                         "has no GPU to measure it — see BASELINE.md",
     }))
 
 

@@ -49,12 +49,20 @@ def main():
         f = setup_filter([1, 3, 3, 1])
         for res, c in [(64, 512), (128, 256), (256, 128)]:
             x = jnp.ones((N, res, res, c), jnp.bfloat16)
-            for impl in ["conv", "shift"]:
+            for impl in ["conv", "shift", "matmul"]:
                 fn = jax.jit(lambda x, impl=impl: upfirdn_mod.upsample2d(
                     x, f, impl=impl))
                 dt = timeit(fn, x)
                 gbps = 2 * x.size * 2 * 4 / dt / 1e9
                 emit(f"upfirdn_up2_{res}x{c}_{impl}", dt,
+                     f"{gbps:.0f} GB/s eff")
+            xd = jnp.ones((N, res * 2, res * 2, c), jnp.bfloat16)
+            for impl in ["conv", "matmul"]:
+                fn = jax.jit(lambda x, impl=impl: upfirdn_mod.downsample2d(
+                    x, f, impl=impl))
+                dt = timeit(fn, xd)
+                gbps = (xd.size + xd.size // 4) * 2 / dt / 1e9
+                emit(f"upfirdn_down2_{res * 2}x{c}_{impl}", dt,
                      f"{gbps:.0f} GB/s eff")
 
     if "modconv" in ops:

@@ -71,8 +71,14 @@ def modulated_conv2d(x: jax.Array,
         dcoefs = jax.lax.rsqrt(sigma2 + 1e-8)
 
     x = x * styles.astype(x.dtype)[:, None, None, :]
-    x = conv2d_resample(x, w, f=resample_filter, up=up, down=down,
-                        padding=padding, flip_weight=flip_weight)
+    # Cast the kernel to the activation dtype HERE, not inside the conv:
+    # the conv's fwd, input-grad and weight-grad each want a different
+    # kernel layout, and XLA places those transpose copies before the
+    # convert — on the f32 param they cost 2x the bytes of the bf16 copies
+    # this early cast produces (trace evidence: f32[3,3,512,512] copy ops
+    # dominating jit__g_reg_step's data-formatting time, BASELINE.md r3).
+    x = conv2d_resample(x, w.astype(x.dtype), f=resample_filter, up=up,
+                        down=down, padding=padding, flip_weight=flip_weight)
     if demodulate and noise is not None:
         x = x * dcoefs.astype(x.dtype)[:, None, None, :] + noise.astype(x.dtype)
     elif demodulate:

@@ -110,19 +110,53 @@ def _depthwise(x: jax.Array, f2d: jnp.ndarray, *,
     )
 
 
-# Implementation selector: 'conv' = depthwise conv_general_dilated (one HLO),
-# 'shift' = tap-by-tap shifted adds (pure VPU elementwise, no grouped conv).
+# Implementation selector: 'matmul' = per-axis band-matrix contractions on
+# the MXU, 'conv' = depthwise conv_general_dilated (one HLO), 'shift' =
+# tap-by-tap shifted adds (pure VPU elementwise, no grouped conv).
 # Mirrors the reference's impl='ref'|'cuda' switch (upfirdn2d.py:120-164).
-# Measured on TPU v5e (benchmarks/bench_ops.py): conv is 3-5x faster than
-# shift for the 4-tap up2 resample (83-192 GB/s vs 31-38 GB/s) — XLA's
-# depthwise lowering wins, so it is the default.
-_DEFAULT_IMPL = "conv"
+# Measured on TPU v5e (benchmarks/bench_ops.py): the depthwise conv
+# lowering runs at only 83-192 GB/s (VPU-bound), while the band-matmul
+# formulation — upfirdn along one axis is a linear map, i.e. a banded
+# (out_len x in_len) matrix contracted on the MXU, the same trick the ADA
+# warp uses for its pad+up2/down2 passes — runs the G/D ladder resamples at
+# matmul rates.  'matmul' is the default and falls back to 'conv' for
+# traced filters / taps > _MATMUL_MAX_TAPS.
+_DEFAULT_IMPL = "matmul"
+_MATMUL_MAX_TAPS = 24
 
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    assert impl in ("conv", "shift")
+    assert impl in ("conv", "shift", "matmul")
     _DEFAULT_IMPL = impl
+
+
+def _band_matrix(n_in: int, f1d: np.ndarray, up: int, down: int,
+                 p0: int, p1: int) -> np.ndarray:
+    """Banded matrix M [out, in] of the 1-D upfirdn pipeline
+    out[o] = sum_k f[k] * stuffed_padded[o*down + k], stuffed_padded the
+    zero-stuffed (factor `up`, up-1 trailing zeros) input padded by
+    (p0, p1).  f1d must already be flipped/gained by the caller."""
+    taps = int(f1d.shape[0])
+    total = n_in * up + p0 + p1
+    n_out = (total - taps) // down + 1
+    m = np.zeros((max(n_out, 0), n_in), np.float32)
+    for o in range(n_out):
+        for k in range(taps):
+            j = o * down + k - p0
+            if 0 <= j < n_in * up and j % up == 0:
+                m[o, j // up] += float(f1d[k])
+    return m
+
+
+def _axis_upfirdn_matmul(x: jax.Array, f1d: np.ndarray, axis: int, up: int,
+                         down: int, p0: int, p1: int) -> jax.Array:
+    """One 1-D upfirdn pass as a band-matrix contraction (MXU)."""
+    m = _band_matrix(int(x.shape[axis]), f1d, up, down, p0, p1)
+    mj = jnp.asarray(m, x.dtype)
+    # Contract x's `axis` with m's second axis; result axis moves to front.
+    y = jnp.tensordot(mj, x, axes=((1,), (axis,)))
+    return jnp.moveaxis(y, 0, axis)
 
 
 def _axis_upfirdn_shift(x: jax.Array, f1d: jnp.ndarray, axis: int, up: int,
@@ -196,10 +230,41 @@ def upfirdn2d(x: jax.Array,
         f = jnp.ones((1, 1), dtype=jnp.float32)
     total_gain = gain * (upx * upy)
     impl = impl or _DEFAULT_IMPL
-    # The shift path unrolls a Python loop over taps, so the filter must be
-    # static; traced filters fall back to the conv impl.
-    if impl == "shift" and isinstance(f, jax.core.Tracer):
+    # The shift/matmul paths build static banded structure from the filter,
+    # so traced filters fall back to the conv impl.
+    if impl in ("shift", "matmul") and isinstance(f, jax.core.Tracer):
         impl = "conv"
+    if impl == "matmul":
+        fc = np.asarray(f, np.float32)
+        if fc.ndim == 2:
+            # Rank-1 2-D filters (every SG2 resample filter: outer product
+            # of the binomial taps) split into two axis passes; general 2-D
+            # filters fall back to the depthwise conv.
+            u, s, vt = np.linalg.svd(fc)
+            if fc.shape[0] <= _MATMUL_MAX_TAPS and s[0] > 0 and (
+                    s[1:] <= 1e-6 * s[0]).all():
+                fy1 = u[:, 0] * np.sqrt(s[0])
+                fx1 = vt[0] * np.sqrt(s[0])
+                # Fix the sign ambiguity: keep each factor's peak positive
+                # (binomial filters are nonnegative).
+                if fy1[np.abs(fy1).argmax()] < 0:
+                    fy1, fx1 = -fy1, -fx1
+                fy = (fy1 if flip_filter else fy1[::-1]) * np.sqrt(total_gain)
+                fx = (fx1 if flip_filter else fx1[::-1]) * np.sqrt(total_gain)
+                x = _axis_upfirdn_matmul(x, fy, axis=1, up=upy, down=downy,
+                                         p0=py0, p1=py1)
+                return _axis_upfirdn_matmul(x, fx, axis=2, up=upx,
+                                            down=downx, p0=px0, p1=px1)
+            impl = "conv"
+        elif fc.size <= _MATMUL_MAX_TAPS:
+            g = float(np.sqrt(total_gain))
+            fy = (fc if flip_filter else fc[::-1]) * g
+            x = _axis_upfirdn_matmul(x, fy, axis=1, up=upy, down=downy,
+                                     p0=py0, p1=py1)
+            return _axis_upfirdn_matmul(x, fy, axis=2, up=upx, down=downx,
+                                        p0=px0, p1=px1)
+        else:
+            impl = "conv"
 
     if impl == "shift":
         f = np.asarray(f, dtype=np.float32)

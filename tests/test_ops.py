@@ -235,12 +235,49 @@ def test_modulated_conv2d_up2_shape():
 
 @pytest.mark.parametrize("up,down,pad", [(1, 1, 2), (2, 1, 1), (1, 2, 1)])
 def test_upfirdn2d_impl_equivalence(up, down, pad):
-    """'shift' (tap-loop) and 'conv' (depthwise) paths must agree."""
+    """'shift' (tap-loop), 'conv' (depthwise) and 'matmul' (band-matrix
+    MXU) paths must agree — incl. rank-1 2-D filters, which 'matmul'
+    decomposes into two axis passes."""
     x = jnp.asarray(rand(2, 9, 9, 5))
     for sep in [True, False]:
         taps = rand(4) ** 2 + 0.1
         f = jnp.asarray(taps if sep else np.outer(taps, taps))
         a = upfirdn2d(x, f, up=up, down=down, padding=pad, impl="conv")
-        b = upfirdn2d(x, f, up=up, down=down, padding=pad, impl="shift")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
-                                   atol=1e-5)
+        for other in ("shift", "matmul"):
+            b = upfirdn2d(x, f, up=up, down=down, padding=pad, impl=other)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=other)
+
+
+def test_upfirdn2d_matmul_full_rank_falls_back():
+    """A non-rank-1 2-D filter silently uses the conv path — identical
+    result."""
+    x = jnp.asarray(rand(1, 7, 7, 3))
+    f = jnp.asarray(rand(3, 3) + np.eye(3))   # full rank
+    a = upfirdn2d(x, f, up=2, down=1, padding=1, impl="conv")
+    b = upfirdn2d(x, f, up=2, down=1, padding=1, impl="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_upfirdn2d_matmul_gradients_match_conv():
+    """The band-matmul path must be AD-equivalent to the conv path (the
+    synthesis ladder differentiates through every resample)."""
+    x = jnp.asarray(rand(1, 6, 6, 2))
+    f = jnp.asarray(np.asarray([1.0, 3.0, 3.0, 1.0]) / 8.0)
+
+    def loss(impl):
+        def fn(x):
+            y = upfirdn2d(x, f, up=2, padding=(1, 1), impl=impl)
+            return jnp.sum(jnp.sin(y) * y)
+        return fn
+
+    ga = jax.grad(loss("conv"))(x)
+    gb = jax.grad(loss("matmul"))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4,
+                               atol=1e-6)
+    # second order too (R1/PPL paths)
+    ha = jax.grad(lambda x: jnp.sum(jax.grad(loss("conv"))(x) ** 2))(x)
+    hb = jax.grad(lambda x: jnp.sum(jax.grad(loss("matmul"))(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-4,
+                               atol=1e-6)
