@@ -27,20 +27,22 @@ def main():
     p.add_argument("--out", default="data/ellipses32.zip")
     p.add_argument("--num", type=int, default=2000)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--res", type=int, default=32)
     args = p.parse_args()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     rnd = np.random.RandomState(args.seed)
+    r = args.res
     with zipfile.ZipFile(args.out, "w") as z:
         labels = []
-        yy, xx = np.mgrid[0:32, 0:32]
+        yy, xx = np.mgrid[0:r, 0:r]
         for i in range(args.num):
-            img = np.zeros((32, 32, 3), np.uint8)
+            img = np.zeros((r, r, 3), np.uint8)
             base = rnd.randint(0, 80, 3)
-            img[:] = np.clip(base[None, None, :] + (yy * 2)[:, :, None],
-                             0, 255)
+            grad = (yy * (64.0 / r)).astype(np.int64)   # 0..63 over height
+            img[:] = np.clip(base[None, None, :] + grad[:, :, None], 0, 255)
             cls = i % 4
-            cy, cx = rnd.randint(8, 24, 2)
-            ry, rx = rnd.randint(4, 10, 2)
+            cy, cx = rnd.randint(r // 4, 3 * r // 4, 2)
+            ry, rx = rnd.randint(r // 8, r * 5 // 16, 2)
             mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
             col = np.array([0, 0, 0])
             col[cls % 3] = 200 + rnd.randint(0, 55)
