@@ -285,3 +285,37 @@ def test_ada_controller():
     p2 = c.adjust(p)
     assert p2 < p
     assert c.adjust(0.0) is None  # no observations -> no-op
+
+
+def test_device_normalize_matches_host():
+    """The hot loop ships uint8 and normalizes ON DEVICE (trainer.py::
+    _normalize_u8); it must equal the host-side normalize_images exactly
+    (reference conversion: trainers.py:716)."""
+    from style_big_gan_tpu.data.dataloader import normalize_images
+    from style_big_gan_tpu.train.trainer import (_DeviceBatchPrefetcher,
+                                                 _normalize_u8)
+    u8 = np.random.RandomState(0).randint(0, 256, (2, 3, 8, 8, 3),
+                                          dtype=np.uint8)
+    dev = np.asarray(_normalize_u8(jnp.asarray(u8)))
+    # XLA may fuse /127.5 as *(1/127.5): tolerate 1-ULP differences.
+    np.testing.assert_allclose(dev, normalize_images(u8), atol=2e-7, rtol=0)
+    assert dev.dtype == np.float32
+
+    # Prefetcher: order-preserving, exception surfaces in the consumer.
+    it = iter(range(5))
+
+    def make():
+        v = next(it)
+        if v == 3:
+            raise RuntimeError("boom")
+        return v
+
+    p = _DeviceBatchPrefetcher(make)
+    assert [p.get(), p.get(), p.get()] == [0, 1, 2]
+    try:
+        p.get()
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+    p.close()
