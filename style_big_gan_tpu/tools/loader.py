@@ -21,8 +21,15 @@ from style_big_gan_tpu.utils import checkpoint as ckpt
 
 
 def find_snapshot(run_dir: str, snapshot: Optional[str] = None) -> str:
-    if snapshot and os.path.isfile(snapshot):
-        return snapshot
+    if snapshot:
+        # Accept absolute/cwd-relative paths AND bare names inside run_dir.
+        # An explicit snapshot that cannot be found is an error — silently
+        # evaluating the latest snapshot instead would misattribute results.
+        for cand in (snapshot, os.path.join(run_dir, snapshot)):
+            if os.path.isfile(cand):
+                return cand
+        raise FileNotFoundError(
+            f"snapshot {snapshot!r} not found (also tried under {run_dir})")
     snaps = sorted(f for f in os.listdir(run_dir)
                    if f.startswith("network-snapshot-") and
                    f.endswith(".msgpack"))

@@ -168,3 +168,22 @@ def test_dataset_tool_resolution_check(tmp_path):
         src / "a.png")
     with pytest.raises(SystemExit):
         dataset_tool.convert_dataset(str(src), str(tmp_path / "o.zip"))
+
+
+def test_find_snapshot_resolution(tmp_path):
+    """Bare names resolve inside run_dir; a missing explicit snapshot is an
+    error (silent fallback to the latest snapshot misattributes metrics)."""
+    import pytest as _pytest
+
+    from style_big_gan_tpu.tools.loader import find_snapshot
+    d = tmp_path / "run"
+    d.mkdir()
+    for kimg in ("000008", "000300"):
+        (d / f"network-snapshot-{kimg}.msgpack").write_bytes(b"x")
+    assert find_snapshot(str(d)).endswith("000300.msgpack")
+    got = find_snapshot(str(d), "network-snapshot-000008.msgpack")
+    assert got.endswith("000008.msgpack")
+    assert find_snapshot(str(d), str(d / "network-snapshot-000008.msgpack"))\
+        .endswith("000008.msgpack")
+    with _pytest.raises(FileNotFoundError):
+        find_snapshot(str(d), "network-snapshot-999999.msgpack")
