@@ -328,6 +328,13 @@ struct InfiniteSampler {
       if (result >= 0) return result;
     }
   }
+
+  // Fast-forward past the first `n` yields while advancing the reshuffle
+  // RNG identically (exact-resume support; mirrors the Python sampler's
+  // `start_item`).
+  void skip(int64_t n) {
+    for (int64_t k = 0; k < n; ++k) (void)next();
+  }
 };
 
 // ------------------------------------------------------------------ pipeline
@@ -483,12 +490,13 @@ int dataio_read_image(DataioHandle* h, long long idx, unsigned char* out) {
 
 int dataio_start(DataioHandle* h, int batch, int shard, int num_shards,
                  int num_threads, int prefetch, unsigned long long seed,
-                 int shuffle) {
+                 int shuffle, long long start_item) {
   if (h->image_entries.empty() || h->width == 0) return -1;
   h->batch = batch;
   h->prefetch = prefetch > 0 ? prefetch : 2;
   h->sampler.init((int64_t)h->image_entries.size(), shard, num_shards, seed,
                   shuffle != 0);
+  if (start_item > 0) h->sampler.skip((int64_t)start_item);
   h->stop.store(false);
   int nt = num_threads > 0 ? num_threads : 3;
   for (int i = 0; i < nt; ++i)

@@ -30,9 +30,15 @@ def normalize_images(images: np.ndarray) -> np.ndarray:
 
 def infinite_sampler(n: int, shard: int = 0, num_shards: int = 1,
                      shuffle: bool = True, seed: int = 0,
-                     window_size: float = 0.5) -> Iterator[int]:
+                     window_size: float = 0.5,
+                     start_item: int = 0) -> Iterator[int]:
     """Infinite windowed-reshuffle index stream, round-robin sharded
-    (same algorithm as reference torch_utils/misc.py:109-140)."""
+    (same algorithm as reference torch_utils/misc.py:109-140).
+
+    ``start_item`` fast-forwards the stream past its first N yields while
+    advancing the reshuffle RNG identically — an exact-resume run replays
+    the same index sequence the interrupted run would have produced.
+    """
     assert n > 0 and num_shards > 0 and 0 <= shard < num_shards
     order = np.arange(n)
     rnd = None
@@ -42,10 +48,14 @@ def infinite_sampler(n: int, shard: int = 0, num_shards: int = 1,
         rnd.shuffle(order)
         window = int(np.rint(order.size * window_size))
     idx = 0
+    skip = int(start_item)
     while True:
         i = idx % order.size
         if idx % num_shards == shard:
-            yield int(order[i])
+            if skip > 0:
+                skip -= 1
+            else:
+                yield int(order[i])
         if window >= 2:
             j = (i - rnd.randint(window)) % order.size
             order[i], order[j] = order[j], order[i]
@@ -114,11 +124,13 @@ class BasicDataloader:
 
     def __call__(self, dataset, batch_size: int, shard: int = 0,
                  num_shards: int = 1, seed: int = 0,
-                 shuffle: bool = True) -> Iterator[Tuple[np.ndarray,
-                                                         np.ndarray]]:
+                 shuffle: bool = True,
+                 start_item: int = 0) -> Iterator[Tuple[np.ndarray,
+                                                        np.ndarray]]:
         sampler = infinite_sampler(len(dataset), shard=shard,
                                    num_shards=num_shards, shuffle=shuffle,
-                                   seed=seed, window_size=self.window_size)
+                                   seed=seed, window_size=self.window_size,
+                                   start_item=start_item)
         return _PrefetchIterator(dataset, batch_size, sampler,
                                  self.num_workers, self.prefetch)
 

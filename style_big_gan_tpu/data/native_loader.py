@@ -59,7 +59,8 @@ def _load_lib():
             lib.dataio_start.restype = ctypes.c_int
             lib.dataio_start.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int]
+                ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int,
+                ctypes.c_longlong]
             lib.dataio_next.restype = ctypes.c_int
             lib.dataio_next.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
@@ -127,11 +128,11 @@ class NativeZipReader:
 
     def start(self, batch: int, shard: int = 0, num_shards: int = 1,
               num_threads: int = 3, prefetch: int = 2, seed: int = 0,
-              shuffle: bool = True) -> None:
+              shuffle: bool = True, start_item: int = 0) -> None:
         rc = self._lib.dataio_start(self._h, int(batch), int(shard),
                                     int(num_shards), int(num_threads),
                                     int(prefetch), int(seed),
-                                    1 if shuffle else 0)
+                                    1 if shuffle else 0, int(start_item))
         if rc != 0:
             raise RuntimeError("cannot start native pipeline: "
                                f"{self._lib.dataio_last_error(self._h).decode()}")
@@ -266,8 +267,9 @@ class NativeDataloader:
 
     def __call__(self, dataset, batch_size: int, shard: int = 0,
                  num_shards: int = 1, seed: int = 0,
-                 shuffle: bool = True) -> Iterator[Tuple[np.ndarray,
-                                                         np.ndarray]]:
+                 shuffle: bool = True,
+                 start_item: int = 0) -> Iterator[Tuple[np.ndarray,
+                                                        np.ndarray]]:
         path = getattr(dataset, "_path", None)
         is_zip = (getattr(dataset, "_type", None) == "zip" and path and
                   native_available())
@@ -277,7 +279,7 @@ class NativeDataloader:
             return BasicDataloader(self.num_workers, self.prefetch,
                                    self.window_size)(
                 dataset, batch_size, shard=shard, num_shards=num_shards,
-                seed=seed, shuffle=shuffle)
+                seed=seed, shuffle=shuffle, start_item=start_item)
         reader = NativeZipReader(path, channels=dataset.num_channels)
         # The C++ reader indexes only lowercase .png/.jpg/.jpeg entries; the
         # Python dataset also accepts .bmp/.webp and uppercase extensions.
@@ -290,7 +292,7 @@ class NativeDataloader:
             return BasicDataloader(self.num_workers, self.prefetch,
                                    self.window_size)(
                 dataset, batch_size, shard=shard, num_shards=num_shards,
-                seed=seed, shuffle=shuffle)
+                seed=seed, shuffle=shuffle, start_item=start_item)
         trivial = (len(dataset) == reader.num_images and
                    not np.any(dataset._xflip))
         if trivial:
@@ -298,11 +300,12 @@ class NativeDataloader:
                          num_shards=int(num_shards),
                          num_threads=self.num_workers,
                          prefetch=self.prefetch, seed=int(seed),
-                         shuffle=shuffle)
+                         shuffle=shuffle, start_item=int(start_item))
             return _NativePipelineIterator(reader, dataset)
         from style_big_gan_tpu.data.dataloader import infinite_sampler
         sampler = infinite_sampler(len(dataset), shard=shard,
                                    num_shards=num_shards, shuffle=shuffle,
-                                   seed=seed, window_size=self.window_size)
+                                   seed=seed, window_size=self.window_size,
+                                   start_item=start_item)
         return _NativeViewIterator(reader, dataset, batch_size, sampler,
                                    self.num_workers, self.prefetch)

@@ -280,6 +280,10 @@ class BaseTrainer:
         a.ema_rampup = float(c.ema.ramp)
         if a.ema_rampup < 0:
             a.ema_rampup = None
+        # BigGAN standing statistics (reference: biggan/layers.py:212-255).
+        a.standing_stats = bool(getattr(c.ema, "standing_stats", False))
+        a.standing_stats_batches = int(getattr(c.ema,
+                                               "standing_stats_batches", 16))
 
         # ADA (reference: trainers.py:299-336).
         a.aug = str(c.aug.aug)
@@ -325,8 +329,13 @@ class BaseTrainer:
             # (reference: trainers.py:342-362 + dnnlib open_url).
             from style_big_gan_tpu.utils import resolver
             a.resume_model = resolver.resolve_resume_spec(a.resume)
-        if a.resume != "noresume":
-            a.ada_kimg = 100             # reference: trainers.py:363-365
+        if a.resume not in ("noresume", "from_data"):
+            # Transfer learning: faster ADA reaction + no EMA rampup
+            # (reference: trainers.py:363-365).  NOT applied to from_data —
+            # that is an exact continuation of the interrupted run (the
+            # reference applied these to every resume, which bent the EMA
+            # and ADA schedules of a mere continuation).
+            a.ada_kimg = 100
             a.ema_rampup = None
 
         a.bf16 = bool(c.perf.bf16)
@@ -413,10 +422,15 @@ class BaseTrainer:
             self.config.dataloaders_args[loader_name]))
         loader = registries.dataloaders[loader_name](**loader_kwargs)
         host_batch = a.batch_size // jax.process_count()
+        # Exact resume: fast-forward the index stream to where the
+        # interrupted run's trainer had consumed it (batch_idx batches of
+        # host_batch items each), so a resumed run sees the same data
+        # sequence the uninterrupted run would have.
+        start_item = int(a.start_options.get("batch_idx", 0)) * host_batch
         self.data_iter = loader(self.dataset, batch_size=host_batch,
                                 shard=jax.process_index(),
                                 num_shards=jax.process_count(),
-                                seed=a.seed)
+                                seed=a.seed, start_item=start_item)
         print(f"Dataset: {self.dataset.name}  {len(self.dataset)} images  "
               f"{a.resolution}x{a.resolution}x{a.img_channels}  "
               f"labels={a.label_dim}")
@@ -488,6 +502,13 @@ class BaseTrainer:
                 self.ada_controller = AdaController(
                     target=a.ada_target, interval=a.ada_interval,
                     kimg=a.ada_kimg, batch_size=a.batch_size)
+                # Exact resume: replay the sign observations that were
+                # pending (since the last p adjustment) at snapshot time.
+                p = self._resume_payload
+                if a.resume == "from_data" and p is not None and \
+                        "ada_signs" in p:
+                    self.ada_controller._signs = [
+                        float(v) for v in np.atleast_1d(p["ada_signs"])]
 
     # ---------------------------------------------- setup_training_phases
 
@@ -574,6 +595,25 @@ class BaseTrainer:
             if "ada_p" in p:
                 state = state.replace(ada_p=jnp.asarray(p["ada_p"],
                                                         jnp.float32))
+            # Exact continuation (v2 payloads, from_data only): restore the
+            # optimizer moments, step counter, and training PRNG key so the
+            # resumed trajectory is bit-identical to an uninterrupted run.
+            # Transfer learning (named resume specs) intentionally starts
+            # the optimizer fresh, like the reference (trainers.py:342-369).
+            if a.resume == "from_data" and int(p.get("snapshot_version", 1)) >= 2:
+                import flax.serialization as _ser
+                rng = jnp.asarray(p["rng"], jnp.uint32)
+                if jnp.issubdtype(state.rng.dtype, jax.dtypes.prng_key):
+                    rng = jax.random.wrap_key_data(rng)
+                try:
+                    state = state.replace(
+                        opt_g=_ser.from_state_dict(state.opt_g, p["opt_g"]),
+                        opt_d=_ser.from_state_dict(state.opt_d, p["opt_d"]),
+                        step=jnp.asarray(p["step"], jnp.int32),
+                        rng=rng)
+                except (KeyError, ValueError) as e:
+                    print(f"Snapshot optimizer state not restored ({e}); "
+                          "resuming with fresh optimizer moments")
         if a.model_parallel > 1:
             # Tensor parallel: large kernels sharded on the output-channel
             # axis over the 'model' mesh axis (optimizer moments follow
@@ -590,9 +630,19 @@ class BaseTrainer:
     # --------------------------------------------------------- persistence
 
     def save_snapshot(self, cur_nimg: int):
-        """msgpack snapshot (reference: trainers.py:636-656)."""
+        """msgpack snapshot (reference: trainers.py:636-656).
+
+        Version 2 payloads additionally carry the optimizer moments, the
+        training PRNG key, the step counter, and the ADA controller's
+        pending sign observations, making ``trans.resume=from_data`` an
+        EXACT continuation (bit-identical to an uninterrupted run; see
+        tests/test_exact_resume.py).  The reference's pickles drop all of
+        these (trainers.py:636-656) — resume there re-warms Adam moments.
+        Version-1 payloads still load (optimizer state starts fresh)."""
+        import flax.serialization as _ser
         state = self.state
         payload = dict(
+            snapshot_version=np.int32(2),
             params_g=jax.device_get(state.params_g),
             g_state=jax.device_get(state.g_state),
             params_d=jax.device_get(state.params_d),
@@ -601,6 +651,16 @@ class BaseTrainer:
             g_state_ema=jax.device_get(state.g_state_ema),
             reg_state=jax.device_get(state.reg_state),
             ada_p=jax.device_get(state.ada_p),
+            opt_g=_ser.to_state_dict(jax.device_get(state.opt_g)),
+            opt_d=_ser.to_state_dict(jax.device_get(state.opt_d)),
+            step=jax.device_get(state.step),
+            rng=jax.device_get(
+                jax.random.key_data(state.rng)
+                if jnp.issubdtype(state.rng.dtype, jax.dtypes.prng_key)
+                else state.rng),
+            ada_signs=np.asarray(
+                self.ada_controller._signs
+                if self.ada_controller is not None else [], np.float32),
         )
         path = os.path.join(self.run_dir, ckpt.snapshot_name(cur_nimg))
         ckpt.save_pytree(path, payload)
@@ -614,6 +674,31 @@ class BaseTrainer:
                                      cur_tick=int(cur_tick),
                                      batch_idx=int(batch_idx))
         ckpt.save_json(path, opts)
+
+    def _refresh_standing_stats(self):
+        """BigGAN eval-time standing statistics: reset + re-accumulate the
+        G_ema BN standing sums before snapshot eval (reference myBN
+        accumulate_standing, biggan/layers.py:212-255).  No-op unless
+        ema.standing_stats is set and the generator supports it."""
+        a = self.args
+        if not getattr(a, "standing_stats", False):
+            return
+        import inspect
+        if "standing_stats" not in \
+                inspect.signature(type(self.G).__call__).parameters:
+            if not getattr(self, "_warned_standing", False):
+                print(f"ema.standing_stats ignored: generator "
+                      f"{a.generator} has no standing-stats support")
+                self._warned_standing = True
+            return
+        from style_big_gan_tpu.models.biggan import accumulate_standing_stats
+        g_vars = merge_vars(self.state.params_g_ema, self.state.g_state_ema)
+        new_vars = accumulate_standing_stats(
+            self.G, g_vars, jax.random.PRNGKey(a.seed),
+            num_batches=a.standing_stats_batches,
+            batch_size=min(a.batch_size, 64))
+        _, g_state_ema = split_vars(new_vars)
+        self.state = self.state.replace(g_state_ema=g_state_ema)
 
     # ----------------------------------------------------------- inference
 
@@ -761,11 +846,16 @@ class BaseTrainer:
             ema_nimg = min(ema_nimg, cur_nimg * a.ema_rampup)
         return 0.5 ** (a.batch_size / max(ema_nimg, 1e-8))
 
-    def _sample_gen_labels(self, n: int) -> np.ndarray:
+    def _sample_gen_labels(self, n: int, batch_idx: int = 0) -> np.ndarray:
         a = self.args
         if a.label_dim == 0:
             return np.zeros((n, 0), np.float32)
-        idx = np.random.randint(len(self.dataset), size=n)
+        # Deterministic per-batch label stream keyed on (seed, batch_idx):
+        # exact resume replays the same generator-conditioning labels (a
+        # global np.random draw would depend on process history).
+        rnd = np.random.RandomState(
+            (a.seed * 1000003 + batch_idx) % (2**31 - 1))
+        idx = rnd.randint(len(self.dataset), size=n)
         return np.stack([self.dataset.get_label(int(i)) for i in idx])
 
     def _flush_pending_stats(self):
@@ -788,7 +878,10 @@ class BaseTrainer:
         a = self.args
         mesh = self.mesh
         self._pending_stats = []
-        self._ada_p_host = float(a.augment_p)
+        # Host copy of the ADA probability follows the (possibly resumed)
+        # device state — reading a.augment_p here made a resumed run's
+        # next adjustment jump back to the config's initial p.
+        self._ada_p_host = float(jax.device_get(self.state.ada_p))
         start_opts = a.start_options
         cur_nimg = int(start_opts.get("cur_nimg", 0))
         cur_tick = int(start_opts.get("cur_tick", 0))
@@ -808,11 +901,17 @@ class BaseTrainer:
         print()
 
         cycle_k = int(getattr(self, "cycle_k", 1))
+        # Position of the NEXT batch the prefetch thread will assemble
+        # (mutable cell: the thread runs ahead of consumption, but
+        # sequentially, so this tracks the trainer's batch_idx stream).
+        fetch_pos = [batch_idx]
 
         def fetch_device_batch():
             """Assemble + ship ONE device batch (runs on the prefetch
             thread; reference: trainers.py:712-722).  Images cross the
             host->device link as uint8 and are normalized on device."""
+            pos = fetch_pos[0]
+            fetch_pos[0] = pos + cycle_k
             if cycle_k > 1:
                 pairs = [next(self.data_iter) for _ in range(cycle_k)]
                 img_u8 = np.stack([p[0] for p in pairs])
@@ -826,7 +925,7 @@ class BaseTrainer:
             if a.label_dim == 0:
                 real_c = np.zeros(img_u8.shape[:-3] + (0,), np.float32)
             gen_c = self._sample_gen_labels(
-                int(np.prod(img_u8.shape[:-3])))
+                int(np.prod(img_u8.shape[:-3])), batch_idx=pos)
             if cycle_k > 1:
                 # explicit batch dim: -1 cannot be inferred when
                 # label_dim == 0 (size-0 array)
@@ -986,6 +1085,7 @@ class BaseTrainer:
             t_maint = time.time()
             snapshot_path = None
             if cur_tick % a.snap == 0 or done or aborted:
+                self._refresh_standing_stats()
                 self.export_sample_images(cur_nimg)
                 snapshot_path = self.save_snapshot(cur_nimg)
                 self._update_training_options(cur_nimg, cur_tick, batch_idx)

@@ -87,6 +87,17 @@ def test_infinite_sampler_shuffle_covers():
     assert set(idxs) == set(range(10))
 
 
+def test_infinite_sampler_start_item_replays_stream():
+    """Fast-forwarding by N yields continues the exact index sequence the
+    uninterrupted stream would have produced (exact-resume support)."""
+    it_full = infinite_sampler(13, num_shards=2, shard=1, shuffle=True,
+                               seed=3)
+    seq = [next(it_full) for _ in range(50)]
+    it_ff = infinite_sampler(13, num_shards=2, shard=1, shuffle=True,
+                             seed=3, start_item=20)
+    assert [next(it_ff) for _ in range(30)] == seq[20:]
+
+
 def test_basic_dataloader(tiny_zip):
     ds = ImageFolderDataset(path=tiny_zip, use_labels=True)
     loader = BasicDataloader(num_workers=2, prefetch=2)
