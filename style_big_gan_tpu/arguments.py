@@ -121,6 +121,12 @@ class EmaArgs:
     use_ema: bool = True
     kimg: float = 20.0
     ramp: float = -1.0
+    # BigGAN eval-time standing statistics: before each snapshot eval,
+    # re-accumulate BN standing stats over `standing_stats_batches`
+    # train-mode G_ema forwards (reference myBN accumulate_standing,
+    # biggan/layers.py:212-255, exposed at generators.py:762,791-793).
+    standing_stats: bool = False
+    standing_stats_batches: int = 16
 
 
 @args.add_to_registry("aug")

@@ -84,6 +84,105 @@ def _avgpool2(x):
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+def _bn_moments(mod: nn.Module, x, channels: int, momentum: float,
+                train: bool, update_stats: bool, standing: bool):
+    """Batch-norm moment bookkeeping shared by CCBN and BigGANBN.
+
+    Three modes, mirroring the reference's myBN (biggan/layers.py:212-255):
+
+    * train, standing=False — batch moments; running averages updated
+      (momentum) when ``update_stats``.
+    * train, standing=True — batch moments; they are ADDED to standing
+      sums and a counter is bumped (``accumulate_standing``,
+      reference :238-241).  Running averages untouched.
+    * eval — standing sums / counter when any accumulation happened,
+      else the running averages (reference :248-255).
+
+    Standing variables are created at module init (stable pytree for
+    train states) or lazily on the first standing pass; eval falls back
+    to running averages when a loaded checkpoint predates them."""
+    stored_mean = mod.variable("batch_stats", "mean",
+                               lambda: jnp.zeros((channels,), jnp.float32))
+    stored_var = mod.variable("batch_stats", "var",
+                              lambda: jnp.ones((channels,), jnp.float32))
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        if mod.is_initializing() or standing:
+            s_mean = mod.variable("batch_stats", "standing_mean",
+                                  lambda: jnp.zeros((channels,), jnp.float32))
+            s_var = mod.variable("batch_stats", "standing_var",
+                                 lambda: jnp.zeros((channels,), jnp.float32))
+            s_cnt = mod.variable("batch_stats", "standing_count",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if standing and not mod.is_initializing():
+                s_mean.value = s_mean.value + mean
+                s_var.value = s_var.value + var
+                s_cnt.value = s_cnt.value + 1.0
+        if update_stats and not standing and not mod.is_initializing():
+            stored_mean.value = ((1 - momentum) * stored_mean.value +
+                                 momentum * mean)
+            stored_var.value = ((1 - momentum) * stored_var.value +
+                                momentum * var)
+        return mean, var
+    if mod.has_variable("batch_stats", "standing_count"):
+        s_mean = mod.variable("batch_stats", "standing_mean",
+                              lambda: jnp.zeros((channels,), jnp.float32))
+        s_var = mod.variable("batch_stats", "standing_var",
+                             lambda: jnp.zeros((channels,), jnp.float32))
+        s_cnt = mod.variable("batch_stats", "standing_count",
+                             lambda: jnp.zeros((), jnp.float32))
+        cnt = s_cnt.value
+        safe = jnp.maximum(cnt, 1.0)
+        mean = jnp.where(cnt > 0, s_mean.value / safe, stored_mean.value)
+        var = jnp.where(cnt > 0, s_var.value / safe, stored_var.value)
+        return mean, var
+    return stored_mean.value, stored_var.value
+
+
+def reset_standing_stats(batch_stats):
+    """Zero every standing_{mean,var,count} leaf (reference myBN
+    ``reset_stats``, biggan/layers.py:229-233).  Pure tree -> tree."""
+    def visit(path, leaf):
+        name = str(path[-1].key) if path else ""
+        if name.startswith("standing_"):
+            return jnp.zeros_like(leaf)
+        return leaf
+    return jax.tree_util.tree_map_with_path(visit, batch_stats)
+
+
+def accumulate_standing_stats(model, variables, rng, num_batches: int = 16,
+                              batch_size: int = 32, **apply_kwargs):
+    """Refresh standing statistics: reset, then run ``num_batches``
+    train-mode forwards with ``standing_stats=True``, accumulating BN sums
+    (the BigGAN eval-time trick the reference exposes via the G args
+    ``mybn``/``accumulate_standing``, generators.py:762,791-793).
+
+    Returns the variables dict with an updated ``batch_stats`` collection;
+    every other collection (params, spectral u-vectors) is untouched."""
+    variables = dict(variables)
+    variables["batch_stats"] = reset_standing_stats(
+        variables.get("batch_stats", {}))
+    z_dim = int(getattr(model, "z_dim", 128))
+    c_dim = int(getattr(model, "c_dim", 0))
+    n_classes = int(getattr(model, "n_classes", 0) or c_dim)
+    for i in range(num_batches):
+        rng, kz, kc, kn = jax.random.split(rng, 4)
+        z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
+        if c_dim > 0:
+            idx = jax.random.randint(kc, (batch_size,), 0, max(n_classes, 1))
+            c = jax.nn.one_hot(idx, c_dim, dtype=jnp.float32)
+        else:
+            c = jnp.zeros((batch_size, 0), jnp.float32)
+        _, updates = model.apply(variables, z, c, train=True,
+                                 standing_stats=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"noise": kn}, **apply_kwargs)
+        variables["batch_stats"] = updates["batch_stats"]
+    return variables
+
+
 class CCBN(nn.Module):
     """Class-conditional BatchNorm (reference: biggan/layers.py:278-329).
 
@@ -98,7 +197,8 @@ class CCBN(nn.Module):
     n_classes: int = 0        # >0 when conditioning is an int class index
 
     @nn.compact
-    def __call__(self, x, y, train: bool = True, update_stats: bool = True):
+    def __call__(self, x, y, train: bool = True, update_stats: bool = True,
+                 standing: bool = False):
         if self.n_classes > 0:
             gain_w = self.param("gain_embed", _ortho,
                                 (self.n_classes, self.channels), jnp.float32)
@@ -130,39 +230,47 @@ class CCBN(nn.Module):
 
         if self.norm_style != "bn":
             raise NotImplementedError(f"norm_style={self.norm_style}")
-        stored_mean = self.variable("batch_stats", "mean",
-                                    lambda: jnp.zeros((self.channels,),
-                                                      jnp.float32))
-        stored_var = self.variable("batch_stats", "var",
-                                   lambda: jnp.ones((self.channels,),
-                                                    jnp.float32))
-        if train:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
-            if update_stats and not self.is_initializing():
-                stored_mean.value = ((1 - self.momentum) * stored_mean.value +
-                                     self.momentum * mean)
-                stored_var.value = ((1 - self.momentum) * stored_var.value +
-                                    self.momentum * var)
-        else:
-            mean, var = stored_mean.value, stored_var.value
+        mean, var = _bn_moments(self, x, self.channels, self.momentum,
+                                train, update_stats, standing)
         xn = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
             var + self.eps).astype(x.dtype)
         return xn * gain + bias
 
 
-class BigGANBN(nn.Module):
-    """Plain affine BN (reference: biggan/layers.py:333-366)."""
+class _AffineBN(nn.Module):
+    """Hand-rolled affine BN with standing-stats support.  Variable names
+    (params scale/bias, batch_stats mean/var) match flax nn.BatchNorm so
+    reference-weight imports are unchanged."""
     channels: int
     eps: float = 1e-5
     momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        return nn.BatchNorm(use_running_average=not train,
-                            momentum=1 - self.momentum, epsilon=self.eps,
-                            name="bn")(x)
+    def __call__(self, x, train: bool = True, update_stats: bool = True,
+                 standing: bool = False):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.channels,), jnp.float32)
+        mean, var = _bn_moments(self, x, self.channels, self.momentum,
+                                train, update_stats, standing)
+        xn = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var + self.eps).astype(x.dtype)
+        return xn * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class BigGANBN(nn.Module):
+    """Plain affine BN (reference: biggan/layers.py:333-366; standing-stats
+    mode per myBN, :212-255)."""
+    channels: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, update_stats: bool = True,
+                 standing: bool = False):
+        return _AffineBN(self.channels, eps=self.eps, momentum=self.momentum,
+                         name="bn")(x, train, update_stats, standing)
 
 
 class GBlock(nn.Module):
@@ -175,10 +283,11 @@ class GBlock(nn.Module):
     n_classes: int = 0      # index-mode ccbn when >0
 
     @nn.compact
-    def __call__(self, x, y, train: bool = True, update_stats: bool = True):
+    def __call__(self, x, y, train: bool = True, update_stats: bool = True,
+                 standing: bool = False):
         h = CCBN(self.in_channels, use_sn=self.use_sn,
                  n_classes=self.n_classes, name="bn1")(x, y, train,
-                                                       update_stats)
+                                                       update_stats, standing)
         h = nn.relu(h)
         if self.upsample:
             h = _upsample2x(h)
@@ -191,7 +300,7 @@ class GBlock(nn.Module):
                         kernel_init=_ortho, name="conv1")(h)
         h = CCBN(self.out_channels, use_sn=self.use_sn,
                  n_classes=self.n_classes, name="bn2")(h, y, train,
-                                                       update_stats)
+                                                       update_stats, standing)
         h = nn.relu(h)
         if self.use_sn:
             h = SNConv(self.out_channels, 3, padding=1, kernel_init=_ortho,
@@ -264,13 +373,15 @@ class BigGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, z, c, noise_mode: str = "random", train: bool = True,
-                 update_emas: bool = False):
+                 update_emas: bool = False, standing_stats: bool = False):
         n_classes = self.n_classes or self.c_dim
         use_sn = self.G_param == "SN"
         arch = g_arch(self.G_ch, self.G_attn)[self.img_resolution]
         num_blocks = len(arch["out_ch"])
         shared_dim = self.shared_dim if self.shared_dim > 0 else self.z_dim
-        update_stats = train
+        # Standing-stats accumulation passes run BN in batch-moment mode but
+        # must not advance the SN power iteration or the running averages.
+        update_stats = train and not standing_stats
 
         y_idx = jnp.argmax(c, axis=1) if c.ndim == 2 else c.astype(jnp.int32)
 
@@ -311,12 +422,15 @@ class BigGANGenerator(nn.Module):
         for i in range(num_blocks):
             h = GBlock(arch["in_ch"][i], arch["out_ch"][i], upsample=True,
                        use_sn=use_sn, n_classes=ccbn_classes,
-                       name=f"block{i}")(h, ys[i], train, update_stats)
+                       name=f"block{i}")(h, ys[i], train, update_stats,
+                                         standing_stats)
             if arch["attention"][i]:
                 h = SelfAttention(arch["out_ch"][i], use_sn=use_sn,
                                   name=f"attn{i}")(h, update_stats)
 
-        h = BigGANBN(arch["out_ch"][-1], name="out_bn")(h, train)
+        h = BigGANBN(arch["out_ch"][-1], name="out_bn")(h, train,
+                                                        update_stats,
+                                                        standing_stats)
         h = nn.relu(h)
         if use_sn:
             h = SNConv(self.img_channels, 3, padding=1, kernel_init=_ortho,

@@ -897,3 +897,117 @@ def test_trainer_resumes_from_imported_reference_snapshot(
         last = [json.loads(l) for l in f][-1]
     assert np.isfinite(last["Loss/D/loss"])
     trainer.logger.close()
+
+
+def test_biggan_standing_stats_parity_mybn():
+    """Standing-statistics BN vs the reference myBN
+    (biggan/layers.py:212-255): accumulation mode (sums + counter, divide at
+    eval) and running-average mode must both match the reference bit-close.
+    The reference reuses one buffer pair for both modes; this build keeps
+    separate standing sums beside the running averages (eval picks standing
+    whenever any accumulation happened), so each mode is tested on a fresh
+    module exactly as the reference uses them."""
+    from biggan import layers as ref_layers
+    from style_big_gan_tpu.models.biggan import _AffineBN, reset_standing_stats
+
+    ch = 6
+    rnd = np.random.RandomState(21)
+    batches = [(rnd.randn(4, ch, 5, 5) * (i + 1.0) + 0.3 * i)
+               .astype(np.float32) for i in range(3)]
+    x_eval = rnd.randn(4, ch, 5, 5).astype(np.float32)
+    gain = torch.ones(1, ch, 1, 1)
+    bias = torch.zeros(1, ch, 1, 1)
+
+    def to_nhwc(a):
+        return jnp.asarray(np.transpose(a, (0, 2, 3, 1)))
+
+    def to_nchw(a):
+        return np.transpose(np.asarray(a), (0, 3, 1, 2))
+
+    # --- accumulation mode ---------------------------------------------
+    ref = ref_layers.myBN(ch, eps=1e-5, momentum=0.1)
+    ref.accumulate_standing = True
+    ref.reset_stats()   # the accumulation protocol: reset, then accumulate
+    ref.train()
+    bn = _AffineBN(ch)
+    variables = bn.init(jax.random.PRNGKey(0), to_nhwc(batches[0]), True)
+    for xb in batches:
+        with torch.no_grad():
+            ref(torch.from_numpy(xb), gain, bias)
+        _, upd = bn.apply(variables, to_nhwc(xb), True, True, True,
+                          mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    assert float(variables["batch_stats"]["standing_count"]) == 3.0
+    ref.eval()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_eval), gain, bias).numpy()
+    out = bn.apply(variables, to_nhwc(x_eval), False)
+    np.testing.assert_allclose(to_nchw(out), ref_out, rtol=1e-4, atol=1e-5)
+
+    # reset (reference reset_stats, :229-233): eval falls back to the
+    # running averages (still at init values here: mean 0, var 1).
+    variables = {**variables,
+                 "batch_stats": reset_standing_stats(variables["batch_stats"])}
+    out_reset = bn.apply(variables, to_nhwc(x_eval), False)
+    expect = x_eval / np.sqrt(1.0 + 1e-5)
+    np.testing.assert_allclose(to_nchw(out_reset), expect, rtol=1e-4,
+                               atol=1e-5)
+
+    # --- running-average mode -------------------------------------------
+    ref2 = ref_layers.myBN(ch, eps=1e-5, momentum=0.1)
+    ref2.train()
+    variables = bn.init(jax.random.PRNGKey(0), to_nhwc(batches[0]), True)
+    for xb in batches:
+        with torch.no_grad():
+            ref2(torch.from_numpy(xb), gain, bias)
+        _, upd = bn.apply(variables, to_nhwc(xb), True, True, False,
+                          mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    ref2.eval()
+    with torch.no_grad():
+        ref_out2 = ref2(torch.from_numpy(x_eval), gain, bias).numpy()
+    out2 = bn.apply(variables, to_nhwc(x_eval), False)
+    np.testing.assert_allclose(to_nchw(out2), ref_out2, rtol=1e-4, atol=1e-5)
+
+
+def test_biggan_generator_standing_stats_accumulation():
+    """accumulate_standing_stats refreshes every BN's standing sums in a
+    full BigGAN G (reference G args mybn/accumulate_standing,
+    generators.py:762,791-793): counters land at num_batches, eval output
+    changes to the standing statistics, and a reset restores the
+    running-average behavior."""
+    from style_big_gan_tpu.models.biggan import (accumulate_standing_stats,
+                                                 reset_standing_stats)
+
+    ncls, zdim, ch = 4, 16, 8
+    G = registries.generators["big_gan"](
+        G_ch=ch, z_dim=zdim, c_dim=ncls, n_classes=ncls, img_resolution=32,
+        img_channels=3, G_attn="16", G_shared=False, hier=False)
+    rnd = np.random.RandomState(3)
+    z = jnp.asarray(rnd.randn(2, zdim).astype(np.float32))
+    c = jnp.asarray(np.eye(ncls, dtype=np.float32)[rnd.randint(0, ncls, 2)])
+    variables = G.init(jax.random.PRNGKey(1), z, c)
+
+    out_running = G.apply(variables, z, c, train=False)
+    new_vars = accumulate_standing_stats(G, dict(variables),
+                                         jax.random.PRNGKey(2),
+                                         num_batches=4, batch_size=8)
+    counts = [np.asarray(v) for path, v in
+              jax.tree_util.tree_flatten_with_path(
+                  new_vars["batch_stats"])[0]
+              if "standing_count" in str(path)]
+    assert counts and all(float(cv) == 4.0 for cv in counts)
+    out_standing = G.apply(new_vars, z, c, train=False)
+    assert not np.allclose(np.asarray(out_standing), np.asarray(out_running),
+                           atol=1e-4)
+    # params/spectral untouched by accumulation
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables["params"], new_vars["params"])
+
+    reset_vars = {**new_vars,
+                  "batch_stats": reset_standing_stats(new_vars["batch_stats"])}
+    out_reset = G.apply(reset_vars, z, c, train=False)
+    np.testing.assert_allclose(np.asarray(out_reset), np.asarray(out_running),
+                               rtol=1e-5, atol=1e-6)
