@@ -19,7 +19,8 @@ import numpy as np
 import scipy.linalg
 
 from style_big_gan_tpu.metrics import metric_utils
-from style_big_gan_tpu.metrics.metric_utils import (MetricOptions,
+from style_big_gan_tpu.metrics.metric_utils import (STAND_IN_DETECTORS,
+                                                    MetricOptions,
                                                     get_feature_detector)
 from style_big_gan_tpu.registries import metrics as metric_registry
 from style_big_gan_tpu.utils.misc import EasyDict
@@ -42,17 +43,37 @@ def list_valid_metrics():
     return sorted(_metric_dict.keys())
 
 
+_warned_stand_in = set()
+
+
 def calc_metric(metric: str, **kwargs) -> EasyDict:
     """reference: metric_main.py:39-63 (timing kept; result broadcast is moot
-    in single-process SPMD)."""
+    in single-process SPMD).
+
+    When the feature detector is a stand-in (e.g. the deterministic
+    random-conv ``fake_v1`` used for smoke runs), every result key is
+    suffixed with ``@<detector>`` — a number named ``fid50k_full`` computed
+    by a random-conv network must never be mistaken for a real FID."""
     assert is_valid_metric(metric), metric
     opts = MetricOptions(**kwargs)
     start_time = time.time()
     results = _metric_dict[metric](opts)
     total_time = time.time() - start_time
+    if opts.detector in STAND_IN_DETECTORS:
+        results = {f"{k}@{opts.detector}": v for k, v in results.items()}
+        if opts.detector not in _warned_stand_in:
+            _warned_stand_in.add(opts.detector)
+            print(f"WARNING: metric '{metric}' computed with the "
+                  f"'{opts.detector}' STAND-IN detector — values track "
+                  "distribution drift only and are NOT comparable to "
+                  "published FID/KID/IS/PPL numbers. Result keys carry the "
+                  f"@{opts.detector} suffix; set log.detector to a real "
+                  "detector (inception_v3 / inception_v3_jax + weights) for "
+                  "perceptual metrics.")
     return EasyDict(
         results=EasyDict(results),
         metric=metric,
+        detector=opts.detector,
         total_time=total_time,
         total_time_str=f"{total_time:.1f}s",
         num_gpus=opts.num_shards,
@@ -207,8 +228,11 @@ def _compute_ppl(opts: MetricOptions, num_samples: int, epsilon: float,
             dists.append(jnp.sum(jnp.square(f0 - f1), axis=1)
                          / epsilon ** 2)
         else:
-            f0 = detector(img0)
-            f1 = detector(img1)
+            # Host detectors: prefer the native-resolution LPIPS embedding
+            # (the reference PPL contract) over the generic feature path.
+            host_fn = getattr(detector, "lpips_embed", None) or detector
+            f0 = host_fn(img0)
+            f1 = host_fn(img1)
             dists.append(np.sum((f0 - f1) ** 2, axis=1) / epsilon ** 2)
         done += bs
     dist = np.concatenate([np.asarray(d) for d in dists])[:num_samples]

@@ -59,6 +59,11 @@ class MetricOptions:
 
 _DETECTORS: Dict[str, Callable] = {}
 
+# Detectors that are NOT perceptual networks: metric results computed with
+# them get an explicit @<name> key suffix (metric_main.calc_metric) so they
+# can never be misread as real FID/KID/IS numbers.
+STAND_IN_DETECTORS = {"fake_v1"}
+
 
 def register_detector(name: str):
     def deco(fn):
@@ -138,7 +143,13 @@ def _inception_jax_detector(path=None):
 def _vgg16_lpips_detector(path=None):
     """Native JAX LPIPS-VGG embedding (metrics/vgg16_jax.py): squared L2
     between embeddings == LPIPS distance, the contract _compute_ppl and the
-    projector consume.  `path` is an .npz from tools/convert_detector.py."""
+    projector consume.  `path` is an .npz from tools/convert_detector.py,
+    or the NVlabs vgg16.pt TorchScript pickle (exact reference numerics,
+    host-side — metrics/vgg16_torch.py)."""
+    if path and str(path).endswith(".pt"):
+        from style_big_gan_tpu.metrics.vgg16_torch import \
+            VGG16LPIPSTorchDetector
+        return VGG16LPIPSTorchDetector(path)
     from style_big_gan_tpu.metrics.vgg16_jax import VGG16LPIPSJaxDetector
     return VGG16LPIPSJaxDetector(path)
 
@@ -251,8 +262,10 @@ class ProgressMonitor:
 
 
 def _cache_key(tag: str, opts: MetricOptions, detector) -> str:
+    # detector_path is part of the identity: the same detector name can be
+    # fed different weight files (e.g. parity harnesses).
     ident = repr([tag, sorted(opts.dataset_kwargs.items()), detector.name,
-                  opts.num_items])
+                  opts.detector_path, opts.num_items])
     return hashlib.md5(ident.encode()).hexdigest()
 
 

@@ -81,24 +81,24 @@ def test_fid_identical_distributions_near_zero():
     ds = ArrayDataset(imgs)
     res = metric_main.calc_metric("fid50k", **_opts(ds, make_sampler(1)))
     # Same distribution -> small FID; different seed -> larger.
-    fid_same = res.results.fid50k
+    fid_same = res.results["fid50k@fake_v1"]
     res2 = metric_main.calc_metric("fid50k", **_opts(ds, make_sampler(99)))
-    assert fid_same < res2.results.fid50k or fid_same < 1e-3
+    assert fid_same < res2.results["fid50k@fake_v1"] or fid_same < 1e-3
 
 
 def test_kid_and_is_run():
     ds = ArrayDataset(make_images(256, seed=2))
     kid = metric_main.calc_metric("kid50k", **_opts(ds, make_sampler(2)))
-    assert np.isfinite(kid.results.kid50k)
+    assert np.isfinite(kid.results["kid50k@fake_v1"])
     is_res = metric_main.calc_metric("is50k", **_opts(ds, make_sampler(2)))
-    assert is_res.results.is50k_mean > 0
+    assert is_res.results["is50k_mean@fake_v1"] > 0
 
 
 def test_pr_runs():
     ds = ArrayDataset(make_images(128, seed=3))
     res = metric_main.calc_metric("pr50k3", **_opts(ds, make_sampler(3)))
-    assert 0.0 <= res.results.pr50k3_precision <= 1.0
-    assert 0.0 <= res.results.pr50k3_recall <= 1.0
+    assert 0.0 <= res.results["pr50k3_precision@fake_v1"] <= 1.0
+    assert 0.0 <= res.results["pr50k3_recall@fake_v1"] <= 1.0
 
 
 def test_knn_device_matches_numpy_oracle():
@@ -233,7 +233,7 @@ def test_ppl_metric_end_to_end(tiny_sg2):
         res = metric_main.calc_metric(
             name, G=make_sampler(0), G_kwargs={"ppl_sampler": sampler},
             dataset=None, num_items=32, batch_size=16)
-        val = res.results[name]
+        val = res.results[f"{name}@fake_v1"]
         assert np.isfinite(val) and val >= 0, (name, val)
 
 
