@@ -22,7 +22,7 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
                  detector: str = "fake_v1",
                  detector_path: Optional[str] = None,
                  snapshot: Optional[str] = None, batch: int = 64,
-                 seed: int = 0):
+                 seed: int = 0, num_items: Optional[int] = None):
     import inspect
 
     import jax
@@ -77,7 +77,7 @@ def calc_metrics(run_dir: str, metric_names: List[str], data: Optional[str],
             metric, G=g_sampler, G_kwargs=g_kwargs, dataset=dataset,
             dataset_kwargs=ds_kwargs,
             detector=detector, detector_path=detector_path,
-            batch_size=batch, rng_seed=seed,
+            batch_size=batch, rng_seed=seed, num_items=num_items,
             # Multi-host runs shard feature extraction per process and
             # gather per batch (metric_utils._shard_gather).
             shard=jax.process_index(), num_shards=jax.process_count(),
@@ -96,9 +96,13 @@ def main(argv=None):
     p.add_argument("--detector-path", default=None)
     p.add_argument("--snapshot", default=None)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--num-items", type=int, default=None,
+                   help="override each metric's sample budget "
+                        "(smoke runs / parity checks)")
     a = p.parse_args(argv)
     calc_metrics(a.run_dir, a.metrics.split(","), a.data, a.detector,
-                 a.detector_path, a.snapshot, a.batch)
+                 a.detector_path, a.snapshot, a.batch,
+                 num_items=a.num_items)
 
 
 if __name__ == "__main__":

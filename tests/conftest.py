@@ -30,7 +30,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # module, with per-test overrides for quick tests inside slow modules.
 
 _E2E_MODULES = {"test_e2e", "test_train", "test_cycle", "test_multihost",
-                "test_tools", "test_exact_resume"}
+                "test_tools", "test_exact_resume", "test_metric_number_parity"}
 _FAST_MODULES = {"test_config", "test_data", "test_resolver", "test_ops",
                  "test_native_loader"}
 # Quick tests inside otherwise-slow modules (measured on the 1-core box).

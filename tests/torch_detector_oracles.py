@@ -297,3 +297,121 @@ class TorchVGG16LPIPS(nn.Module):
                 h * w_)
             pieces.append(t.reshape(n, -1))
         return torch.cat(pieces, dim=1)
+
+
+# ---------------------------------------------------- TorchScript contracts
+#
+# Scriptable wrappers that reproduce the NVlabs detector-pickle interfaces
+# (reference: metric_utils.py:41-52 — `model(uint8 NCHW, **kwargs)` with
+# internal resize + normalization), so `torch.jit.script(...)` of an oracle
+# yields a real TorchScript file that exercises the EXACT code path real
+# weights take through metrics/inception.py / metrics/vgg16_torch.py.
+
+
+class TorchInceptionV3FIDTS(TorchInceptionV3FID):
+    """NVlabs inception-2015-12-05.pt contract: uint8/float NCHW at any
+    resolution; internal bilinear resize to 299 (align_corners=False) and
+    [-1,1] scaling; `return_features` selects the 2048-D features or the
+    1008-way logits."""
+
+    def forward(self, x, return_features: bool = True):
+        x = x.to(torch.float32)
+        if x.shape[2] != 299 or x.shape[3] != 299:
+            x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                              align_corners=False)
+        x = x / 127.5 - 1.0
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Mixed_5b(x)
+        x = self.Mixed_5c(x)
+        x = self.Mixed_5d(x)
+        x = self.Mixed_6a(x)
+        x = self.Mixed_6b(x)
+        x = self.Mixed_6c(x)
+        x = self.Mixed_6d(x)
+        x = self.Mixed_6e(x)
+        x = self.Mixed_7a(x)
+        x = self.Mixed_7b(x)
+        x = self.Mixed_7c(x)
+        feat = x.mean(dim=(2, 3))
+        if return_features:
+            return feat
+        return self.fc(feat)
+
+
+class TorchVGG16LPIPSTS(nn.Module):
+    """NVlabs vgg16.pt contract: uint8/float [0,255] NCHW; optional internal
+    resize to 256; returns the LPIPS embedding (squared L2 between two
+    embeddings == LPIPS distance).  Shares the TorchVGG16LPIPS oracle's
+    weights but re-states its forward in scriptable form (no module-level
+    tensors / config loops)."""
+
+    def __init__(self, core: TorchVGG16LPIPS):
+        super().__init__()
+        self.convs = core.convs
+        self.register_buffer("shift", _SHIFT.clone())
+        self.register_buffer("scale", _SCALE.clone())
+        for i, lin in enumerate(core.lins):
+            self.register_buffer(f"lin{i}", lin.data.clone())
+
+    def _tap(self, t: torch.Tensor, w: torch.Tensor) -> torch.Tensor:
+        n = t.shape[0]
+        hw = float(t.shape[2] * t.shape[3])
+        t = t / torch.sqrt((t ** 2).sum(dim=1, keepdim=True) + 1e-10)
+        t = t * torch.sqrt(torch.abs(w)).view(1, -1, 1, 1) / \
+            torch.sqrt(torch.tensor(hw))
+        return t.reshape(n, -1)
+
+    def forward(self, x, resize_images: bool = True,
+                return_lpips: bool = True):
+        assert return_lpips, "only the LPIPS-embedding contract is wrapped"
+        x = x.to(torch.float32)
+        if resize_images and (x.shape[2] != 256 or x.shape[3] != 256):
+            x = F.interpolate(x, size=(256, 256), mode="bilinear",
+                              align_corners=False)
+        x = x / 127.5 - 1.0
+        x = (x - self.shift) / self.scale
+        x = F.relu(self.convs[0](x))
+        x = F.relu(self.convs[1](x))
+        t0 = self._tap(x, self.lin0)
+        x = F.max_pool2d(x, 2, stride=2)
+        x = F.relu(self.convs[2](x))
+        x = F.relu(self.convs[3](x))
+        t1 = self._tap(x, self.lin1)
+        x = F.max_pool2d(x, 2, stride=2)
+        x = F.relu(self.convs[4](x))
+        x = F.relu(self.convs[5](x))
+        x = F.relu(self.convs[6](x))
+        t2 = self._tap(x, self.lin2)
+        x = F.max_pool2d(x, 2, stride=2)
+        x = F.relu(self.convs[7](x))
+        x = F.relu(self.convs[8](x))
+        x = F.relu(self.convs[9](x))
+        t3 = self._tap(x, self.lin3)
+        x = F.max_pool2d(x, 2, stride=2)
+        x = F.relu(self.convs[10](x))
+        x = F.relu(self.convs[11](x))
+        x = F.relu(self.convs[12](x))
+        t4 = self._tap(x, self.lin4)
+        return torch.cat([t0, t1, t2, t3, t4], dim=1)
+
+
+def script_inception_oracle(out_path: str, seed: int = 0) -> str:
+    """torch.jit.script the randomized inception oracle -> a real
+    TorchScript file consumable by metrics/inception.py."""
+    model = randomize_inception_(TorchInceptionV3FIDTS(), seed=seed)
+    torch.jit.script(model).save(out_path)
+    return out_path
+
+
+def script_vgg16_oracle(out_path: str, seed: int = 0) -> str:
+    """torch.jit.script the VGG16-LPIPS oracle -> a real TorchScript file
+    consumable by metrics/vgg16_torch.py."""
+    model = TorchVGG16LPIPSTS(TorchVGG16LPIPS(seed=seed)).eval()
+    torch.jit.script(model).save(out_path)
+    return out_path
