@@ -418,6 +418,14 @@ class BaseTrainer:
         a = self.args
         self.dataset = registries.datasets[a.dataset_name](**a.dataset_kwargs)
         loader_name = str(self.config.data.dataloader)
+        if loader_name == "auto":
+            # Default-when-available: the C++ zip/PNG/JPEG pipeline beats
+            # the Python decode path by the largest margin at 512px+ where
+            # decode bytes quadruple (BASELINE.md); NativeDataloader itself
+            # falls back to the Python path for non-zip datasets.
+            from style_big_gan_tpu.data.native_loader import native_available
+            loader_name = "native" if native_available() else "basic"
+            print(f"dataloader: auto -> {loader_name}")
         loader_kwargs = dict(to_container(
             self.config.dataloaders_args[loader_name]))
         loader = registries.dataloaders[loader_name](**loader_kwargs)
@@ -615,15 +623,14 @@ class BaseTrainer:
                     print(f"Snapshot optimizer state not restored ({e}); "
                           "resuming with fresh optimizer moments")
         if a.model_parallel > 1:
-            # Tensor parallel: large kernels sharded on the output-channel
-            # axis over the 'model' mesh axis (optimizer moments follow
-            # their params leaf-wise); everything else replicated.  GSPMD
-            # inserts the activation collectives.
-            self.state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    x, mesh_lib.infer_param_sharding(x, self.mesh)
-                    if hasattr(x, "ndim") and x.ndim >= 2
-                    else mesh_lib.replicated(self.mesh)), state)
+            # Tensor parallel: named targets (mapping FC stack, widest conv
+            # kernels) plus any >= TP_MIN_SHARD_SIZE leaf sharded on the
+            # output-channel axis over the 'model' mesh axis; optimizer
+            # moments and EMA copies follow their params path-wise.  GSPMD
+            # inserts the activation collectives.  Same rule + threshold as
+            # the driver dryrun (docs/parallelism.md).
+            self.state = mesh_lib.apply_shardings(
+                state, mesh_lib.infer_state_sharding(state, self.mesh))
         else:
             self.state = mesh_lib.replicate_tree(self.mesh, state)
 

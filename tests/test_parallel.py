@@ -42,6 +42,38 @@ def test_infer_param_sharding_tp():
     assert sh["small"].spec == jax.sharding.PartitionSpec()
 
 
+def test_infer_state_sharding_named_targets():
+    """The trainer/dryrun rule: mapping FC kernels and the widest conv
+    kernels shard by NAME (below TP_MIN_SHARD_SIZE); optimizer-moment
+    leaves follow their parameter because the param path is embedded in
+    theirs; odd out-channels and small unnamed leaves replicate."""
+    P = jax.sharding.PartitionSpec
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)
+    state = {
+        "params_g": {
+            "mapping": {"fc0": {"weight": jnp.zeros((64, 64))}},
+            "synthesis": {"b8": {"conv0": {"weight": jnp.zeros((3, 3, 128, 128))},
+                                 "torgb": {"weight": jnp.zeros((1, 1, 128, 3))}}},
+        },
+        "opt_g": {"mu": {"mapping": {"fc0": {"weight": jnp.zeros((64, 64))}}}},
+        "step": jnp.zeros((), jnp.int32),
+    }
+    sh = mesh_lib.infer_state_sharding(state, mesh)
+    g = sh["params_g"]
+    assert g["mapping"]["fc0"]["weight"].spec == P(None, "model")
+    assert g["synthesis"]["b8"]["conv0"]["weight"].spec == \
+        P(None, None, None, "model")          # widest conv (128 out)
+    assert g["synthesis"]["b8"]["torgb"]["weight"].spec == P()  # 3 % 2 != 0
+    assert sh["opt_g"]["mu"]["mapping"]["fc0"]["weight"].spec == \
+        P(None, "model")                      # moments follow the param
+    assert sh["step"].spec == P()
+    # Pure-DP mesh: everything replicates.
+    mesh_dp = mesh_lib.make_mesh(8, model_parallel=1)
+    sh_dp = mesh_lib.infer_state_sharding(state, mesh_dp)
+    assert all(s.spec == P()
+               for s in jax.tree_util.tree_leaves(sh_dp))
+
+
 def test_batchnorm_is_cross_replica_under_sharding():
     """BN statistics must be *global* over a sharded batch — the SyncBN
     replacement (SURVEY.md §2.6)."""
@@ -218,13 +250,10 @@ def test_tp_sharded_step_matches_replicated():
         state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds,
                                    tx, tx)
         if model_parallel > 1:
-            # Same placement rule as BaseTrainer.setup_training_phases.
-            state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    x, mesh_lib.infer_param_sharding(x, mesh,
-                                                     min_size=2 ** 10)
-                    if hasattr(x, "ndim") and x.ndim >= 2
-                    else mesh_lib.replicated(mesh)), state)
+            # The EXACT placement rule + threshold the trainer applies
+            # (named targets; TP_MIN_SHARD_SIZE).
+            state = mesh_lib.apply_shardings(
+                state, mesh_lib.infer_state_sharding(state, mesh))
         else:
             state = mesh_lib.replicate_tree(mesh, state)
         steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False,
@@ -278,12 +307,10 @@ def test_tp_cycle_step_matches_replicated():
         state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds,
                                    tx, tx)
         if model_parallel > 1:
-            state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    x, mesh_lib.infer_param_sharding(x, mesh,
-                                                     min_size=2 ** 10)
-                    if hasattr(x, "ndim") and x.ndim >= 2
-                    else mesh_lib.replicated(mesh)), state)
+            # The EXACT placement rule + threshold the trainer applies
+            # (named targets; TP_MIN_SHARD_SIZE).
+            state = mesh_lib.apply_shardings(
+                state, mesh_lib.infer_state_sharding(state, mesh))
         else:
             state = mesh_lib.replicate_tree(mesh, state)
         steps = StepBuilder(arch, tx, tx, z_dim=8, donate=False,
@@ -314,3 +341,67 @@ def test_graft_entry_single_chip():
 def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_tp_cycle_sg2_paper_width_matches_replicated():
+    """TP2 equivalence at paper256 CHANNEL WIDTHS (channel_base 16384,
+    channel_max 512 — the widths the flagship config trains; reference
+    train.py:157,178) on the real SG2 G/D, through the scanned cycle_step,
+    placed by the trainer's infer_state_sharding rule.  Resolution is 16px
+    so the CPU mesh compiles in test time — TP shards channels, not pixels,
+    so the sharded matmul shapes are the paper-width ones."""
+    from style_big_gan_tpu.train.loss_arch import split_vars
+    from style_big_gan_tpu.train.state import create_train_state
+    from style_big_gan_tpu.train.steps import StepBuilder
+
+    res, zw = 16, 512
+    G = registries.generators["sg2_classic"](
+        z_dim=zw, w_dim=zw, c_dim=0, img_resolution=res,
+        channel_base=16384, channel_max=512,
+        mapping_kwargs={"num_layers": 2})
+    D = registries.discriminators["sg2_classic"](
+        c_dim=0, img_resolution=res, channel_base=16384, channel_max=512,
+        epilogue_kwargs={"mbstd_group_size": 2})
+    arch = registries.losses_arch["sg2"](style_mixing_prob=0.0)
+    arch.initialize(G, D, registries.losses["softplus"](), [], [], None)
+
+    z = jnp.zeros((2, zw))
+    img = jnp.zeros((2, res, res, 3))
+    gv = G.init({"params": jax.random.PRNGKey(0),
+                 "noise": jax.random.PRNGKey(1)}, z, None)
+    dv = D.init({"params": jax.random.PRNGKey(2)}, img, None)
+    pg, gs = split_vars(gv)
+    pd, ds = split_vars(dv)
+    tx = optax.sgd(0.05)
+
+    k = 1
+    reals = np.random.RandomState(0).randn(k, 4, res, res, 3).astype(
+        np.float32)
+    cs = np.zeros((k, 4, 0), np.float32)
+    betas = np.full((k,), 0.5, np.float32)
+
+    def run(model_parallel: int):
+        mesh = mesh_lib.make_mesh(4, model_parallel=model_parallel)
+        state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds,
+                                   tx, tx)
+        if model_parallel > 1:
+            shardings = mesh_lib.infer_state_sharding(state, mesh)
+            # the named targets actually fire at these widths
+            specs = jax.tree_util.tree_leaves(
+                shardings, is_leaf=lambda x: hasattr(x, "spec"))
+            assert any("model" in str(s.spec) for s in specs)
+            state = mesh_lib.apply_shardings(state, shardings)
+        else:
+            state = mesh_lib.replicate_tree(mesh, state)
+        steps = StepBuilder(arch, tx, tx, z_dim=zw, donate=False,
+                            data_sharding=mesh_lib.batch_sharding(mesh, 2))
+        batch = mesh_lib.shard_stacked_batch(mesh, (reals, cs, cs))
+        s2, stats, _ = steps.cycle_step(state, *batch, jnp.asarray(betas))
+        return jax.device_get(stats)
+
+    st1 = run(1)
+    st2 = run(2)
+    np.testing.assert_allclose(st1["Loss/D/loss"], st2["Loss/D/loss"],
+                               rtol=2e-3)
+    np.testing.assert_allclose(st1["Loss/G/loss"], st2["Loss/G/loss"],
+                               rtol=2e-3)
