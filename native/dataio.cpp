@@ -362,6 +362,13 @@ struct DataioHandle {
   std::condition_variable q_cv_push, q_cv_pop;
   std::deque<Batch> ready;
   std::vector<std::thread> workers;
+  // Ticketed ordering: decode runs in parallel, but batches are DELIVERED
+  // in sampler order (ticket = position in the index stream), so the batch
+  // sequence is deterministic for any thread count — required for exact
+  // resume (the torch DataLoader the reference uses is order-preserving
+  // too).
+  uint64_t next_ticket = 0;   // guarded by sampler_mutex
+  uint64_t next_push = 0;     // guarded by q_mutex
 
   ~DataioHandle() { shutdown(); }
 
@@ -402,21 +409,28 @@ struct DataioHandle {
       Batch b;
       b.images.resize((size_t)batch * img_bytes);
       b.indices.resize(batch);
+      uint64_t ticket;
       {
         std::lock_guard<std::mutex> lock(sampler_mutex);
         for (int i = 0; i < batch; ++i) b.indices[i] = sampler.next();
+        ticket = next_ticket++;
       }
       bool ok = true;
       for (int i = 0; i < batch && ok; ++i)
         ok = decode_one(b.indices[i], b.images.data() + (size_t)i * img_bytes);
-      if (!ok) continue;  // skip bad batch; error string already set
       std::unique_lock<std::mutex> lock(q_mutex);
       q_cv_push.wait(lock, [&] {
-        return stop.load() || (int)ready.size() < prefetch;
+        return stop.load() ||
+               (next_push == ticket && (int)ready.size() < prefetch);
       });
       if (stop.load()) return;
-      ready.push_back(std::move(b));
-      q_cv_pop.notify_one();
+      ++next_push;
+      if (ok)
+        ready.push_back(std::move(b));
+      // else: skip bad batch (error string already set) but still advance
+      // the ticket so later batches can deliver.
+      q_cv_push.notify_all();   // the next ticket holder may be any waiter
+      if (ok) q_cv_pop.notify_one();
     }
   }
 };
@@ -497,6 +511,8 @@ int dataio_start(DataioHandle* h, int batch, int shard, int num_shards,
   h->sampler.init((int64_t)h->image_entries.size(), shard, num_shards, seed,
                   shuffle != 0);
   if (start_item > 0) h->sampler.skip((int64_t)start_item);
+  h->next_ticket = 0;
+  h->next_push = 0;
   h->stop.store(false);
   int nt = num_threads > 0 ? num_threads : 3;
   for (int i = 0; i < nt; ++i)
@@ -512,7 +528,10 @@ int dataio_next(DataioHandle* h, unsigned char* out_images,
   if (h->ready.empty()) return -1;
   Batch b = std::move(h->ready.front());
   h->ready.pop_front();
-  h->q_cv_push.notify_one();
+  // notify_all, not notify_one: with ticketed ordering the waiters have
+  // heterogeneous predicates (only the next-ticket holder may proceed) —
+  // notify_one can wake a worker whose turn it is not and lose the wakeup.
+  h->q_cv_push.notify_all();
   lock.unlock();
   memcpy(out_images, b.images.data(), b.images.size());
   memcpy(out_indices, b.indices.data(), b.indices.size() * sizeof(int64_t));

@@ -43,7 +43,10 @@ class ExperimentArgs:
 @dataclass
 class DataArgs:
     dataset: str = "image_folder"
-    dataloader: str = "basic"
+    # 'auto' = the C++ pipeline (native/dataio.cpp) when its shared library
+    # is built, else the Python threaded loader.  Set 'basic'/'native'
+    # explicitly to pin one.
+    dataloader: str = "auto"
     dataset_path: str = "./data"
     cond: bool = False
     subset: int = 0

@@ -64,7 +64,12 @@ def infinite_sampler(n: int, shard: int = 0, num_shards: int = 1,
 
 class _PrefetchIterator:
     """Worker threads pull sampler indices, decode via ``dataset[idx]``, and
-    assemble batches into a bounded queue."""
+    assemble batches into a bounded queue.
+
+    Batches are DELIVERED in sampler order (ticketed: decode runs in
+    parallel, the push waits for its turn), so the batch sequence is
+    deterministic for any worker count — exact resume depends on it, and
+    the reference's torch DataLoader is order-preserving too."""
 
     def __init__(self, dataset, batch_size: int, sampler: Iterator[int],
                  num_workers: int, prefetch: int):
@@ -74,6 +79,9 @@ class _PrefetchIterator:
         self.sampler_lock = threading.Lock()
         self.q: "queue.Queue" = queue.Queue(maxsize=max(1, int(prefetch)))
         self.stop = threading.Event()
+        self._next_ticket = 0
+        self._next_push = 0
+        self._push_cond = threading.Condition()
         self.threads = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(max(1, int(num_workers)))]
@@ -84,14 +92,24 @@ class _PrefetchIterator:
         while not self.stop.is_set():
             with self.sampler_lock:
                 idxs = [next(self.sampler) for _ in range(self.batch_size)]
+                ticket = self._next_ticket
+                self._next_ticket += 1
             imgs, labels = zip(*[self.dataset[i] for i in idxs])
             batch = (np.stack(imgs), np.stack(labels).astype(np.float32))
+            with self._push_cond:
+                while not self.stop.is_set() and self._next_push != ticket:
+                    self._push_cond.wait(timeout=0.2)
+            if self.stop.is_set():
+                return
             while not self.stop.is_set():
                 try:
                     self.q.put(batch, timeout=0.2)
                     break
                 except queue.Full:
                     continue
+            with self._push_cond:
+                self._next_push += 1
+                self._push_cond.notify_all()
 
     def __iter__(self):
         return self

@@ -187,7 +187,9 @@ class _NativePipelineIterator:
 
 class _NativeViewIterator:
     """Non-trivial dataset views (max_size subset / xflip): Python threads
-    sample view indices and use the native *decoder* synchronously."""
+    sample view indices and use the native *decoder* synchronously.
+    Ticketed in-order delivery, same as _PrefetchIterator / the C++
+    pipeline (exact resume needs a deterministic batch sequence)."""
 
     def __init__(self, reader: NativeZipReader, dataset, batch_size: int,
                  sampler, num_workers: int, prefetch: int):
@@ -199,6 +201,9 @@ class _NativeViewIterator:
         self.lock = threading.Lock()
         self.q: "queue.Queue" = queue.Queue(maxsize=max(1, int(prefetch)))
         self.stop = threading.Event()
+        self._next_ticket = 0
+        self._next_push = 0
+        self._push_cond = threading.Condition()
         self.threads = [threading.Thread(target=self._worker, daemon=True)
                         for _ in range(max(1, int(num_workers)))]
         for t in self.threads:
@@ -209,6 +214,8 @@ class _NativeViewIterator:
         while not self.stop.is_set():
             with self.lock:
                 idxs = [next(self.sampler) for _ in range(self.batch_size)]
+                ticket = self._next_ticket
+                self._next_ticket += 1
             imgs = []
             labels = []
             for i in idxs:
@@ -219,12 +226,20 @@ class _NativeViewIterator:
                 imgs.append(img)
                 labels.append(self.dataset.get_label(i))
             batch = (np.stack(imgs), np.stack(labels).astype(np.float32))
+            with self._push_cond:
+                while not self.stop.is_set() and self._next_push != ticket:
+                    self._push_cond.wait(timeout=0.2)
+            if self.stop.is_set():
+                return
             while not self.stop.is_set():
                 try:
                     self.q.put(batch, timeout=0.2)
                     break
                 except queue.Full:
                     continue
+            with self._push_cond:
+                self._next_push += 1
+                self._push_cond.notify_all()
 
     def __iter__(self):
         return self

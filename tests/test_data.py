@@ -115,3 +115,21 @@ def test_normalize_images():
     assert y.min() >= -1.0 and y.max() <= 1.0
     np.testing.assert_allclose(y.flat[0], -1.0)
     np.testing.assert_allclose(y.flat[2], 1.0)
+
+
+def test_prefetch_iterator_order_deterministic_across_workers(tiny_zip):
+    """Ticketed delivery: the batch sequence is identical for 1 and 4
+    workers (exact resume depends on a deterministic batch order)."""
+    ds = ImageFolderDataset(path=tiny_zip, use_labels=True)
+
+    def seq(workers):
+        loader = BasicDataloader(num_workers=workers, prefetch=2)
+        it = loader(ds, batch_size=4, seed=7)
+        out = [next(it) for _ in range(6)]
+        it.close()
+        return out
+
+    a, b = seq(1), seq(4)
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)

@@ -132,3 +132,26 @@ def test_native_dataloader_nontrivial_view(tiny_zip):
     imgs, labels = next(it)
     assert imgs.shape == (4, 16, 16, 3)
     assert labels.shape == (4, 4)
+
+
+def test_native_pipeline_order_deterministic_and_start_item(tiny_zip):
+    """Ticketed delivery: the C++ pipeline's index sequence is identical
+    for 1 and 4 decode threads, and dataio_start(start_item=N) resumes the
+    same stream N items in (exact-resume support)."""
+    def seq(threads, start_item=0, batches=60):
+        reader = native.NativeZipReader(tiny_zip)
+        reader.start(batch=4, num_threads=threads, prefetch=2, seed=11,
+                     shuffle=True, start_item=start_item)
+        out = [reader.next_batch()[1].copy() for _ in range(batches)]
+        reader.close()
+        return np.concatenate(out)
+
+    # 60 batches through a prefetch-2 queue with 4 decode threads also
+    # stresses the ticketed hand-off for lost-wakeup deadlocks (the
+    # notify_one consumer bug hung the first TPU drive).
+    a = seq(1)
+    b = seq(4)
+    np.testing.assert_array_equal(a, b)
+    # fast-forward by 2 batches of 4 -> the tail of the full stream
+    c = seq(4, start_item=8, batches=58)
+    np.testing.assert_array_equal(c, a[8:])
