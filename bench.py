@@ -27,12 +27,19 @@ import numpy as np
 A100_REF_IMGS_PER_SEC_PER_CHIP = 21.0   # see module docstring / BASELINE.md
 # Measured here (v5e-lite): 14.47 imgs/sec/chip (BASELINE.md "Measured").
 
+import os as _os
+
 RES = 256
-BATCH = 8                                # per-chip batch (paper256: 64/8)
+# Probe knobs (defaults == the shipped recipe; the driver runs defaults):
+#   SBG_BENCH_BATCH   per-chip batch (paper256: 64 global / 8 chips = 8)
+#   SBG_BENCH_K       batches per dispatch (perf.steps_per_dispatch)
+#   SBG_BENCH_REMAT   1 -> jax.checkpoint the synthesis blocks
+BATCH = int(_os.environ.get("SBG_BENCH_BATCH", "8"))
 WARMUP_CYCLES = 1
 TIMED_CYCLES = 3
-CYCLE = 16                               # one lazy-reg period
-K_STEPS_PER_DISPATCH = 4                 # perf.steps_per_dispatch in the config
+K_STEPS_PER_DISPATCH = int(_os.environ.get("SBG_BENCH_K", "4"))
+CYCLE = max(16, K_STEPS_PER_DISPATCH)    # one lazy-reg period (Dreg/16)
+BENCH_REMAT = _os.environ.get("SBG_BENCH_REMAT", "0") == "1"
 
 
 CONFIG = "ffhq256_sg2ada.yaml"            # the shipped flagship recipe
@@ -62,8 +69,10 @@ def build():
     c = load_config([f"exp.config_dir={os.path.join(here, 'configs')}",
                      f"exp.config={CONFIG}", "exp.name=bench"])
     common = dict(c_dim=0, img_resolution=RES, img_channels=3)
-    G = registries.generators[str(c.gen.generator)](
-        **dict(to_container(c.gens_args[str(c.gen.generator)])), **common)
+    gen_kwargs = dict(to_container(c.gens_args[str(c.gen.generator)]))
+    if BENCH_REMAT:
+        gen_kwargs["remat"] = True
+    G = registries.generators[str(c.gen.generator)](**gen_kwargs, **common)
     D = registries.discriminators[str(c.gen.discriminator)](
         **dict(to_container(c.discs_args[str(c.gen.discriminator)])), **common)
 
@@ -97,7 +106,8 @@ def build():
     steps = StepBuilder(arch, opt, opt, z_dim=G.z_dim, num_accum_rounds=1,
                         g_reg_gain=float(c.gen.g_reg_interval),
                         d_reg_gain=float(c.gen.d_reg_interval), donate=False)
-    assert int(c.perf.steps_per_dispatch) == K_STEPS_PER_DISPATCH
+    if "SBG_BENCH_K" not in os.environ:
+        assert int(c.perf.steps_per_dispatch) == K_STEPS_PER_DISPATCH
     return jax, steps, state
 
 
@@ -155,7 +165,10 @@ def main():
             if i % 16 == 0:
                 state, _ = steps.d_reg_step(state, real1, c1, c1)
             state, stats, _ = steps.cycle_step(state, reals, cs, cs, betas)
-            state, _ = steps.g_reg_step(state, c1)
+            # Keep the Greg RATE at the recipe's interval (every 4 batches)
+            # for any K, like the trainer's window-granular firing.
+            for _ in range(max(1, K // 4)):
+                state, _ = steps.g_reg_step(state, c1)
             imgs += BATCH * K
         return state, imgs, stats
 

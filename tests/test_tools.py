@@ -95,8 +95,9 @@ def test_calc_metrics_cli(tiny_run, tiny_zip):
     from style_big_gan_tpu.tools import calc_metrics
     res = calc_metrics.calc_metrics(tiny_run, ["fid50k"], tiny_zip,
                                     detector="fake_v1", batch=8)
-    # num_items limited by dataset size through the budget override
-    assert "fid50k" in res or res == {}  # fid computed on tiny sets
+    # num_items limited by dataset size through the budget override;
+    # stand-in detector results carry the loud @fake_v1 suffix
+    assert "fid50k@fake_v1" in res or res == {}
     jsonl = os.path.join(tiny_run, "metric-fid50k.jsonl")
     assert os.path.isfile(jsonl)
 
