@@ -31,10 +31,15 @@ import os as _os
 
 RES = 256
 # Probe knobs (defaults == the shipped recipe; the driver runs defaults):
-#   SBG_BENCH_BATCH   per-chip batch (paper256: 64 global / 8 chips = 8)
+#   SBG_BENCH_BATCH   per-chip batch (paper256 global batch is 64; the
+#                     default runs the WHOLE global batch on this one chip
+#                     — identical training math to 8 chips x 8, and what a
+#                     single-chip user would configure (batch_device: 0 in
+#                     the shipped config).  Per-chip batch scaling is in
+#                     BASELINE.md: 8 -> 133, 16 -> 146, 64 -> 163 imgs/s.
 #   SBG_BENCH_K       batches per dispatch (perf.steps_per_dispatch)
 #   SBG_BENCH_REMAT   1 -> jax.checkpoint the synthesis blocks
-BATCH = int(_os.environ.get("SBG_BENCH_BATCH", "8"))
+BATCH = int(_os.environ.get("SBG_BENCH_BATCH", "64"))
 WARMUP_CYCLES = 1
 TIMED_CYCLES = 3
 K_STEPS_PER_DISPATCH = int(_os.environ.get("SBG_BENCH_K", "4"))
@@ -200,7 +205,11 @@ def main():
         "baseline_note": "vs an ESTIMATED A100 anchor (21 imgs/s/chip = "
                          "2x the upstream paper256 V100 figure); the "
                          "reference publishes no numbers and this image "
-                         "has no GPU to measure it — see BASELINE.md",
+                         f"has no GPU to measure it — see BASELINE.md. "
+                         f"Per-chip batch {BATCH} (paper256 global batch "
+                         "64 run on one chip; the anchor GPUs ran mb 8 "
+                         "each — per-chip-batch scaling table in "
+                         "BASELINE.md)",
     }))
 
 
