@@ -22,6 +22,19 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the suite's wall time on a 1-core box is
+# dominated by XLA:CPU compiles, and many programs recur — across test files
+# within one run (the in-memory jit cache is per-function-instance, the disk
+# cache keys on HLO hash) and across repeated runs.  Measured: a warm rerun
+# of the e2e lane drops ~4-5x.  Override the location with
+# SBG_TEST_CACHE_DIR; set it empty to disable.
+_cache_dir = os.environ.get(
+    "SBG_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), ".jax_compile_cache"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 # ---------------------------------------------------------------- test lanes
 # Auto-marking: every test gets exactly one of fast/slow/e2e (+ multihost),

@@ -34,6 +34,29 @@ def tiny_zip(tmp_path_factory):
     return str(path)
 
 
+@pytest.fixture(scope="module")
+def tiny_zip16(tmp_path_factory):
+    """16px variant for the SG2-recipe tests: the resolution ladder (and
+    with it the XLA:CPU compile time that dominates this lane) halves, and
+    the coverage — staged setup, phases, regs, ADA controller, snapshots —
+    is resolution-independent.  DCGAN/BigGAN recipes stay on the 32px zip
+    (their shipped architectures are 32px-specific)."""
+    import PIL.Image
+    path = tmp_path_factory.mktemp("data") / "tiny16.zip"
+    rnd = np.random.RandomState(0)
+    with zipfile.ZipFile(path, "w") as z:
+        labels = []
+        for i in range(32):
+            img = (rnd.rand(16, 16, 3) * 255).astype("uint8")
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, format="png")
+            fname = f"img{i:05d}.png"
+            z.writestr(fname, buf.getvalue())
+            labels.append([fname, i % 4])
+        z.writestr("dataset.json", json.dumps({"labels": labels}))
+    return str(path)
+
+
 def _overrides(tiny_zip, tmp_path, extra=(), devices=1):
     return [
         "exp.name=t", f"data.dataset_path={tiny_zip}",
@@ -71,7 +94,7 @@ def test_dcgan_end_to_end(tiny_zip, tmp_path):
     trainer.logger.close()
 
 
-def test_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
+def test_sg2ada_tiny_end_to_end(tiny_zip16, tmp_path):
     extra = [
         "gens_args.sg2_classic.z_dim=32", "gens_args.sg2_classic.w_dim=32",
         "gens_args.sg2_classic.channel_base=256",
@@ -86,7 +109,7 @@ def test_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
         # test_augment.py — use the color pipe here.
         "aug.augpipe=color",
     ]
-    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+    cfg = load_config(argv=_overrides(tiny_zip16, tmp_path, extra),
                       yaml_path=os.path.join(CFG_DIR, "sg2ada.yaml"))
     trainer = registries.trainers[str(cfg.exp.trainer)]()
     trainer.run(cfg)
@@ -240,7 +263,7 @@ def test_resume_from_snapshot(tiny_zip, tmp_path, monkeypatch):
     trainer2.logger.close()
 
 
-def test_sg2attent_tiny_end_to_end(tiny_zip, tmp_path):
+def test_sg2attent_tiny_end_to_end(tiny_zip16, tmp_path):
     """StyleGAN2+attention recipe (configs/sg2attent.yaml) through the full
     trainer: SA-GAN attention blocks inside the SG2 G/D ladders at 16px,
     R1 lazy reg (reference: configs/sg2attent.yaml, biggan/layers.py:144-169
@@ -258,7 +281,7 @@ def test_sg2attent_tiny_end_to_end(tiny_zip, tmp_path):
         # (same as test_sg2ada_tiny_end_to_end)
         "aug.augpipe=color",
     ]
-    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+    cfg = load_config(argv=_overrides(tiny_zip16, tmp_path, extra),
                       yaml_path=os.path.join(CFG_DIR, "sg2attent.yaml"))
     trainer = registries.trainers[str(cfg.exp.trainer)]()
     trainer.run(cfg)
@@ -295,7 +318,7 @@ def test_sngan_end_to_end(tiny_zip, tmp_path):
     trainer.logger.close()
 
 
-def test_ffhq_sg2_tiny_end_to_end(tiny_zip, tmp_path):
+def test_ffhq_sg2_tiny_end_to_end(tiny_zip16, tmp_path):
     """FFHQ StyleGAN2 recipe (configs/ffhq_sg2.yaml) through the full
     trainer: PPL generator regularization in the lazy Greg phase (pl_mean
     carried in reg_state, snapshotted), R1, style mixing, noaug — the one
@@ -311,7 +334,7 @@ def test_ffhq_sg2_tiny_end_to_end(tiny_zip, tmp_path):
         "perf.steps_per_dispatch=2",
         "gen.kimg=0.048",
     ]
-    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+    cfg = load_config(argv=_overrides(tiny_zip16, tmp_path, extra),
                       yaml_path=os.path.join(CFG_DIR, "ffhq_sg2.yaml"))
     trainer = registries.trainers[str(cfg.exp.trainer)]()
     trainer.run(cfg)
@@ -331,7 +354,7 @@ def test_ffhq_sg2_tiny_end_to_end(tiny_zip, tmp_path):
     trainer.logger.close()
 
 
-def test_ffhq256_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
+def test_ffhq256_sg2ada_tiny_end_to_end(tiny_zip16, tmp_path):
     """Flagship FFHQ-256 ADA recipe (configs/ffhq256_sg2ada.yaml — the file
     bench.py builds its headline benchmark model from) through the full
     trainer at tiny scale: ADA pipe + controller, PPL + R1 lazy regs, and
@@ -355,7 +378,7 @@ def test_ffhq256_sg2ada_tiny_end_to_end(tiny_zip, tmp_path):
         "aug.augpipe=color",
         "gen.kimg=0.096",       # 12 batches: hits both reg intervals
     ]
-    cfg = load_config(argv=_overrides(tiny_zip, tmp_path, extra),
+    cfg = load_config(argv=_overrides(tiny_zip16, tmp_path, extra),
                       yaml_path=os.path.join(CFG_DIR, "ffhq256_sg2ada.yaml"))
     assert int(cfg.perf.steps_per_dispatch) == 4       # shipped cycle kept
     trainer = registries.trainers[str(cfg.exp.trainer)]()
