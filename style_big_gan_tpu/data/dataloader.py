@@ -62,6 +62,16 @@ def infinite_sampler(n: int, shard: int = 0, num_shards: int = 1,
         idx += 1
 
 
+class _WorkerError:
+    """Queue sentinel: a worker's decode/assemble failed.  It still occupies
+    that ticket's slot in the delivery order (the C++ pipeline does the same:
+    dataio.cpp advances next_push on ok=false) so the other workers never
+    deadlock on a dead ticket; the consumer re-raises on receipt."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class _PrefetchIterator:
     """Worker threads pull sampler indices, decode via ``dataset[idx]``, and
     assemble batches into a bounded queue.
@@ -94,8 +104,13 @@ class _PrefetchIterator:
                 idxs = [next(self.sampler) for _ in range(self.batch_size)]
                 ticket = self._next_ticket
                 self._next_ticket += 1
-            imgs, labels = zip(*[self.dataset[i] for i in idxs])
-            batch = (np.stack(imgs), np.stack(labels).astype(np.float32))
+            try:
+                imgs, labels = zip(*[self.dataset[i] for i in idxs])
+                batch = (np.stack(imgs), np.stack(labels).astype(np.float32))
+            except Exception as e:
+                # Must still claim this ticket below or every other worker
+                # blocks forever waiting for it (advisor r4 finding).
+                batch = _WorkerError(e)
             with self._push_cond:
                 while not self.stop.is_set() and self._next_push != ticket:
                     self._push_cond.wait(timeout=0.2)
@@ -115,7 +130,11 @@ class _PrefetchIterator:
         return self
 
     def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
-        return self.q.get()
+        item = self.q.get()
+        if isinstance(item, _WorkerError):
+            raise RuntimeError("dataloader worker failed while decoding a "
+                               "batch") from item.exc
+        return item
 
     def close(self) -> None:
         self.stop.set()

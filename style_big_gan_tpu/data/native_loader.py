@@ -216,16 +216,24 @@ class _NativeViewIterator:
                 idxs = [next(self.sampler) for _ in range(self.batch_size)]
                 ticket = self._next_ticket
                 self._next_ticket += 1
-            imgs = []
-            labels = []
-            for i in idxs:
-                d = self.dataset.get_details(i)
-                img = self.reader.read_image(d.raw_idx)
-                if d.xflip:
-                    img = img[:, ::-1, :].copy()
-                imgs.append(img)
-                labels.append(self.dataset.get_label(i))
-            batch = (np.stack(imgs), np.stack(labels).astype(np.float32))
+            try:
+                imgs = []
+                labels = []
+                for i in idxs:
+                    d = self.dataset.get_details(i)
+                    img = self.reader.read_image(d.raw_idx)
+                    if d.xflip:
+                        img = img[:, ::-1, :].copy()
+                    imgs.append(img)
+                    labels.append(self.dataset.get_label(i))
+                batch = (np.stack(imgs),
+                         np.stack(labels).astype(np.float32))
+            except Exception as e:
+                # Still claim the ticket below, or the other workers block
+                # forever on the dead ticket (advisor r4 finding); the
+                # consumer re-raises on receipt of the sentinel.
+                from style_big_gan_tpu.data.dataloader import _WorkerError
+                batch = _WorkerError(e)
             with self._push_cond:
                 while not self.stop.is_set() and self._next_push != ticket:
                     self._push_cond.wait(timeout=0.2)
@@ -245,7 +253,12 @@ class _NativeViewIterator:
         return self
 
     def __next__(self):
-        return self.q.get()
+        item = self.q.get()
+        from style_big_gan_tpu.data.dataloader import _WorkerError
+        if isinstance(item, _WorkerError):
+            raise RuntimeError("native-view dataloader worker failed while "
+                               "decoding a batch") from item.exc
+        return item
 
     def close(self) -> None:
         import queue

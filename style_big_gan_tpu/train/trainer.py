@@ -313,10 +313,17 @@ class BaseTrainer:
         a.freezed = int(c.trans.freezed)
         a.start_options = dict(cur_nimg=0, cur_tick=0, batch_idx=0)
         a.wandb_run_id = None
+        a.recorded_dataloader = None
         if a.resume == "from_data":
             rd = a.resume_dir or str(c.log.output)
             opts = ckpt.load_json(os.path.join(rd, str(c.trans.args_name)))
             a.start_options = opts.get("start_options", a.start_options)
+            # The loader the interrupted run actually used: the C++ sampler
+            # (std::mt19937_64) and the Python one (np.RandomState) produce
+            # DIFFERENT index streams, so an exact resume must replay the
+            # same loader or the bit-identical-continuation guarantee is
+            # silently void (advisor r4 finding).
+            a.recorded_dataloader = opts.get("resolved_dataloader")
             # Continue the same wandb run on resume
             # (reference: trainers.py:449-460).
             a.wandb_run_id = opts.get("wandb_run_id")
@@ -418,14 +425,39 @@ class BaseTrainer:
         a = self.args
         self.dataset = registries.datasets[a.dataset_name](**a.dataset_kwargs)
         loader_name = str(self.config.data.dataloader)
+        from style_big_gan_tpu.data.native_loader import native_available
         if loader_name == "auto":
             # Default-when-available: the C++ zip/PNG/JPEG pipeline beats
             # the Python decode path by the largest margin at 512px+ where
             # decode bytes quadruple (BASELINE.md); NativeDataloader itself
             # falls back to the Python path for non-zip datasets.
-            from style_big_gan_tpu.data.native_loader import native_available
-            loader_name = "native" if native_available() else "basic"
+            if a.resume == "from_data" and a.recorded_dataloader:
+                # Exact resume replays the RECORDED loader: the C++ and
+                # Python samplers draw different index streams, so 'auto'
+                # must not re-resolve per-environment mid-trajectory.
+                loader_name = str(a.recorded_dataloader)
+                if loader_name == "native" and not native_available():
+                    loader_name = "basic"
+                    print("WARNING: exact resume recorded dataloader="
+                          "'native' but the native library is unavailable "
+                          "here; falling back to 'basic' — the data "
+                          "sequence will DIVERGE from the interrupted run "
+                          "(build it with: make -C native)")
+            else:
+                loader_name = "native" if native_available() else "basic"
             print(f"dataloader: auto -> {loader_name}")
+        elif a.resume == "from_data" and a.recorded_dataloader and \
+                loader_name != str(a.recorded_dataloader):
+            print(f"WARNING: exact resume with dataloader={loader_name!r} "
+                  f"but the interrupted run used "
+                  f"{str(a.recorded_dataloader)!r}; the data sequence will "
+                  f"DIVERGE from an uninterrupted run")
+        # Persist the resolved name so the NEXT from_data resume can hold
+        # the loader (and its sampler stream) fixed.
+        topt = os.path.join(self.run_dir, "training_options.json")
+        opts = ckpt.load_json(topt)
+        opts["resolved_dataloader"] = loader_name
+        ckpt.save_json(topt, opts)
         loader_kwargs = dict(to_container(
             self.config.dataloaders_args[loader_name]))
         loader = registries.dataloaders[loader_name](**loader_kwargs)
@@ -857,11 +889,15 @@ class BaseTrainer:
         a = self.args
         if a.label_dim == 0:
             return np.zeros((n, 0), np.float32)
-        # Deterministic per-batch label stream keyed on (seed, batch_idx):
-        # exact resume replays the same generator-conditioning labels (a
-        # global np.random draw would depend on process history).
+        # Deterministic per-batch label stream keyed on (seed, batch_idx,
+        # process): exact resume replays the same generator-conditioning
+        # labels (a global np.random draw would depend on process history),
+        # and mixing in jax.process_index() keeps multi-host conditional
+        # runs from drawing num_hosts duplicated label sets per global
+        # batch (advisor r4 finding).
         rnd = np.random.RandomState(
-            (a.seed * 1000003 + batch_idx) % (2**31 - 1))
+            (a.seed * 1000003 + batch_idx * jax.process_count()
+             + jax.process_index()) % (2**31 - 1))
         idx = rnd.randint(len(self.dataset), size=n)
         return np.stack([self.dataset.get_label(int(i)) for i in idx])
 

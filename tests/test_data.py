@@ -133,3 +133,41 @@ def test_prefetch_iterator_order_deterministic_across_workers(tiny_zip):
     for (ia, la), (ib, lb) in zip(a, b):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(la, lb)
+
+def test_prefetch_iterator_survives_decode_failure(tiny_zip):
+    """A worker whose decode raises must still advance the delivery ticket
+    (otherwise every other worker blocks forever on its slot — advisor r4
+    finding) and the error must surface on the consumer side."""
+    ds = ImageFolderDataset(path=tiny_zip, use_labels=True)
+
+    class FlakyDataset:
+        """Raises exactly once, on the first item of the second batch."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __getitem__(self, i):
+            self.calls += 1
+            if self.calls == 5:  # first item of batch #2 (batch_size=4)
+                raise ValueError("corrupt image")
+            return self.inner[i]
+
+    loader = BasicDataloader(num_workers=3, prefetch=2)
+    it = loader(FlakyDataset(ds), batch_size=4, seed=7, shuffle=False)
+    got_error = False
+    batches = 0
+    for _ in range(4):
+        try:
+            imgs, labels = next(it)
+            assert imgs.shape == (4, 16, 16, 3)
+            batches += 1
+        except RuntimeError as e:
+            assert "worker failed" in str(e)
+            got_error = True
+    it.close()
+    # The failed ticket surfaced as an error AND later tickets kept flowing.
+    assert got_error and batches == 3
