@@ -37,6 +37,11 @@ class ExperimentArgs:
     notes: str = "empty notes"
     dry_run: bool = False
     trainer: str = "base"
+    # SG2 recipe preset layered over the YAML (reference train.py:146-190
+    # `cfg=` specs): '' (off) | auto | stylegan2 | paper256 | paper512 |
+    # paper1024 | cifar.  'auto' derives batch/gamma/EMA/width from the
+    # dataset resolution and device count.  CLI overrides still win.
+    preset: str = ""
 
 
 @args.add_to_registry("data")
@@ -202,9 +207,31 @@ def load_config(argv: Optional[List[str]] = None, yaml_path: Optional[str] = Non
 
     if yaml_path is None:
         config.exp.config = conf_cli.exp.config
-        config.exp.config_dir = conf_cli.exp.config_dir
+        # exp.config_dir defaults to the shipped configs/ directory so the
+        # installed package works from any CWD (utils/paths.py); an explicit
+        # CLI value always wins.
+        cli_dir = getattr(conf_cli, "exp", conf.ConfigNode()).get("config_dir",
+                                                                  MISSING)
+        if cli_dir is MISSING or cli_dir == MISSING:
+            from style_big_gan_tpu.utils.paths import default_config_dir
+            config.exp.config_dir = default_config_dir()
+        else:
+            config.exp.config_dir = cli_dir
         yaml_path = os.path.join(str(config.exp.config_dir), str(config.exp.config))
     conf_file = conf.load(yaml_path)
     config = conf.merge(config, conf_file)
+    # exp.preset (YAML or CLI) layers the reference's cfg-spec recipe over
+    # the YAML before the CLI dotlist merges, so explicit CLI values win
+    # over the preset (utils/presets.py; reference train.py:146-190).
+    preset = str(conf_cli.get("exp", {}).get("preset", "") or
+                 config.exp.get("preset", "") or "")
+    if preset and preset != str(MISSING):
+        from style_big_gan_tpu.utils.presets import apply_preset
+        # A CLI-supplied dataset path must be visible to the auto probe.
+        cli_path = conf_cli.get("data", {}).get("dataset_path")
+        if cli_path:
+            config.data.dataset_path = cli_path
+        apply_preset(config, preset=preset)
+        config.exp.preset = preset
     config = conf.merge(config, conf_cli)
     return config
