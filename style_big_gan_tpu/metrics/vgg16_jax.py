@@ -131,6 +131,14 @@ def convert_torch_vgg16(path: str, out_path: Optional[str] = None):
         for k in slice_keys:
             convs.append((sd[k], sd.get(k.replace(".weight", ".bias"))))
     conv_names = [it[0] for it in _VGG_PLAN if it != "M"]
+    if len(convs) < len(conv_names):
+        # Generic fallback (TorchScript files with neither torchvision nor
+        # richzhang naming): take the spatial conv weights in state_dict
+        # (module) order — VGG16's trunk is 13 3x3 convs; LPIPS lin heads
+        # are 1x1 and excluded by the spatial filter.
+        convs = [(sd[k], sd.get(k[:-len(".weight")] + ".bias"))
+                 for k in sd if k.endswith(".weight") and sd[k].ndim == 4
+                 and sd[k].shape[2] > 1 and sd[k].shape[3] > 1]
     assert len(convs) >= len(conv_names), \
         f"found {len(convs)} convs, need {len(conv_names)}"
 
@@ -141,8 +149,14 @@ def convert_torch_vgg16(path: str, out_path: Optional[str] = None):
             "bias": jnp.asarray(b if b is not None
                                 else np.zeros(w.shape[0], np.float32))}
 
+    import re as _re
     lin_keys = sorted(k for k in sd if "lin" in k and k.endswith(".weight")
                       and sd[k].ndim == 4)
+    if not lin_keys:
+        # Buffer-style lin heads ("lin0".."lin4", 1-D per-channel weights).
+        lin_keys = sorted((k for k in sd if _re.search(r"lin\d+$", k)
+                           and sd[k].ndim == 1),
+                          key=lambda k: int(_re.search(r"(\d+)$", k).group(1)))
     for i, c in enumerate(_TAP_CH):
         if i < len(lin_keys):
             # Torch LPIPS lin weights multiply SQUARED diffs; the embedding

@@ -43,9 +43,10 @@ if _cache_dir:
 # module, with per-test overrides for quick tests inside slow modules.
 
 _E2E_MODULES = {"test_e2e", "test_train", "test_cycle", "test_multihost",
-                "test_tools", "test_exact_resume", "test_metric_number_parity"}
+                "test_tools", "test_exact_resume", "test_metric_number_parity",
+                "test_verify_detectors"}
 _FAST_MODULES = {"test_config", "test_data", "test_resolver", "test_ops",
-                 "test_native_loader"}
+                 "test_native_loader", "test_packaging", "test_presets"}
 # Quick tests inside otherwise-slow modules (measured on the 1-core box).
 _FAST_TESTS = {
     ("test_metrics", "test_feature_stats_mean_cov"),
@@ -58,6 +59,108 @@ _FAST_TESTS = {
     ("test_models", "test_fully_connected_equalized_lr"),
     ("test_models", "test_minibatch_std_layer"),
 }
+
+
+# ------------------------------------------------- shared parity fixtures
+# One tiny SG2 run + one pair of scripted-oracle detectors, shared
+# (session-scoped) by test_metric_number_parity and test_verify_detectors —
+# building them twice would double those modules' wall time.
+
+
+@pytest.fixture(scope="session")
+def parity_zip(tmp_path_factory):
+    import io
+    import json
+    import zipfile
+
+    import numpy as np
+    import PIL.Image
+    path = tmp_path_factory.mktemp("data") / "tiny32.zip"
+    rnd = np.random.RandomState(0)
+    with zipfile.ZipFile(path, "w") as z:
+        labels = []
+        for i in range(16):
+            img = (rnd.rand(32, 32, 3) * 255).astype("uint8")
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, format="png")
+            fname = f"img{i:05d}.png"
+            z.writestr(fname, buf.getvalue())
+            labels.append([fname, i % 2])
+        z.writestr("dataset.json", json.dumps({"labels": labels}))
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def parity_run(parity_zip, tmp_path_factory):
+    """One tiny SG2 run whose snapshot the metric-parity passes evaluate."""
+    from style_big_gan_tpu import registries
+    from style_big_gan_tpu.arguments import load_config
+    registries._import_all()
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    out = tmp_path_factory.mktemp("run")
+    cfg = load_config(argv=[
+        "exp.name=parityrun", f"data.dataset_path={parity_zip}",
+        "datasets_args.image_folder.max_size=16", "gen.kimg=0.05",
+        "gen.batch=8", "gen.batch_device=8", "log.kimg_per_tick=1",
+        "log.metrics=[]", f"log.output={out}", "log.sample_grid=[2,2]",
+        "dataloaders_args.basic.num_workers=1", "aug.aug=noaug",
+        "gen.disc_regs=[]",
+        "gens_args.sg2_classic.z_dim=16", "gens_args.sg2_classic.w_dim=16",
+        "gens_args.sg2_classic.channel_base=256",
+        "gens_args.sg2_classic.channel_max=32",
+        "discs_args.sg2_classic.channel_base=256",
+        "discs_args.sg2_classic.channel_max=32",
+        "discs_args.sg2_classic.epilogue_kwargs.mbstd_group_size=2",
+    ], yaml_path=os.path.join(cfg_dir, "sg2ada.yaml"))
+    trainer = registries.trainers["sg2"]()
+    trainer.run(cfg)
+    run_dir = trainer.run_dir
+    trainer.logger.close()
+    return run_dir
+
+
+@pytest.fixture(scope="session")
+def inception_pair(tmp_path_factory):
+    """(TorchScript .pt, converted .npz) of the SAME random-weight inception
+    oracle.  The npz is converted FROM the scripted file — exercising the
+    converter's torch.jit.load branch, which real weights use."""
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_detector_oracles import (TorchInceptionV3FIDTS,
+                                        randomize_inception_)
+
+    from style_big_gan_tpu.metrics.inception_jax import \
+        convert_torch_inception
+
+    d = tmp_path_factory.mktemp("det")
+    model = randomize_inception_(TorchInceptionV3FIDTS(), seed=0)
+    pt = str(d / "inception_ts.pt")
+    torch.jit.script(model).save(pt)
+    npz = str(d / "inception.npz")
+    convert_torch_inception(pt, out_path=npz)
+    return pt, npz
+
+
+@pytest.fixture(scope="session")
+def vgg_pair(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_detector_oracles import TorchVGG16LPIPS, TorchVGG16LPIPSTS
+
+    from style_big_gan_tpu.metrics.vgg16_jax import convert_torch_vgg16
+
+    d = tmp_path_factory.mktemp("det")
+    core = TorchVGG16LPIPS(seed=0)
+    pt = str(d / "vgg16_ts.pt")
+    torch.jit.script(TorchVGG16LPIPSTS(core).eval()).save(pt)
+    sd = str(d / "vgg16_sd.pt")
+    torch.save(core.state_dict_richzhang(), sd)
+    npz = str(d / "vgg16.npz")
+    convert_torch_vgg16(sd, out_path=npz)
+    return pt, npz
 
 
 def pytest_collection_modifyitems(config, items):

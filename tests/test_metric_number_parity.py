@@ -16,11 +16,8 @@ Reference being matched: stylegan2ada/metrics/frechet_inception_distance.py:
 21-45 + metric_utils.py:41-52 (TorchScript detector pipeline).
 """
 
-import io
-import json
 import os
 import sys
-import zipfile
 
 import numpy as np
 import pytest
@@ -30,89 +27,21 @@ torch = pytest.importorskip("torch")
 sys.path.insert(0, os.path.dirname(__file__))
 
 from style_big_gan_tpu import registries
-from style_big_gan_tpu.arguments import load_config
 
 registries._import_all()
 
-CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+# tiny_zip / tiny_run / inception_pair / vgg_pair live in conftest.py as the
+# session-scoped parity_* fixtures, shared with test_verify_detectors.
 
 
 @pytest.fixture(scope="module")
-def tiny_zip(tmp_path_factory):
-    import PIL.Image
-    path = tmp_path_factory.mktemp("data") / "tiny32.zip"
-    rnd = np.random.RandomState(0)
-    with zipfile.ZipFile(path, "w") as z:
-        labels = []
-        for i in range(16):
-            img = (rnd.rand(32, 32, 3) * 255).astype("uint8")
-            buf = io.BytesIO()
-            PIL.Image.fromarray(img).save(buf, format="png")
-            fname = f"img{i:05d}.png"
-            z.writestr(fname, buf.getvalue())
-            labels.append([fname, i % 2])
-        z.writestr("dataset.json", json.dumps({"labels": labels}))
-    return str(path)
+def tiny_zip(parity_zip):
+    return parity_zip
 
 
 @pytest.fixture(scope="module")
-def tiny_run(tiny_zip, tmp_path_factory):
-    """One tiny SG2 run whose snapshot both metric passes evaluate."""
-    out = tmp_path_factory.mktemp("run")
-    cfg = load_config(argv=[
-        "exp.name=parityrun", f"data.dataset_path={tiny_zip}",
-        "datasets_args.image_folder.max_size=16", "gen.kimg=0.05",
-        "gen.batch=8", "gen.batch_device=8", "log.kimg_per_tick=1",
-        "log.metrics=[]", f"log.output={out}", "log.sample_grid=[2,2]",
-        "dataloaders_args.basic.num_workers=1", "aug.aug=noaug",
-        "gen.disc_regs=[]",
-        "gens_args.sg2_classic.z_dim=16", "gens_args.sg2_classic.w_dim=16",
-        "gens_args.sg2_classic.channel_base=256",
-        "gens_args.sg2_classic.channel_max=32",
-        "discs_args.sg2_classic.channel_base=256",
-        "discs_args.sg2_classic.channel_max=32",
-        "discs_args.sg2_classic.epilogue_kwargs.mbstd_group_size=2",
-    ], yaml_path=os.path.join(CFG_DIR, "sg2ada.yaml"))
-    trainer = registries.trainers["sg2"]()
-    trainer.run(cfg)
-    run_dir = trainer.run_dir
-    trainer.logger.close()
-    return run_dir
-
-
-@pytest.fixture(scope="module")
-def inception_pair(tmp_path_factory):
-    """(TorchScript .pt, converted .npz) of the SAME random-weight inception
-    oracle.  The npz is converted FROM the scripted file — exercising the
-    converter's torch.jit.load branch, which real weights use."""
-    from torch_detector_oracles import (TorchInceptionV3FIDTS,
-                                        randomize_inception_)
-    from style_big_gan_tpu.metrics.inception_jax import \
-        convert_torch_inception
-
-    d = tmp_path_factory.mktemp("det")
-    model = randomize_inception_(TorchInceptionV3FIDTS(), seed=0)
-    pt = str(d / "inception_ts.pt")
-    torch.jit.script(model).save(pt)
-    npz = str(d / "inception.npz")
-    convert_torch_inception(pt, out_path=npz)
-    return pt, npz
-
-
-@pytest.fixture(scope="module")
-def vgg_pair(tmp_path_factory):
-    from torch_detector_oracles import TorchVGG16LPIPS, TorchVGG16LPIPSTS
-    from style_big_gan_tpu.metrics.vgg16_jax import convert_torch_vgg16
-
-    d = tmp_path_factory.mktemp("det")
-    core = TorchVGG16LPIPS(seed=0)
-    pt = str(d / "vgg16_ts.pt")
-    torch.jit.script(TorchVGG16LPIPSTS(core).eval()).save(pt)
-    sd = str(d / "vgg16_sd.pt")
-    torch.save(core.state_dict_richzhang(), sd)
-    npz = str(d / "vgg16.npz")
-    convert_torch_vgg16(sd, out_path=npz)
-    return pt, npz
+def tiny_run(parity_run):
+    return parity_run
 
 
 def _run_metrics(run_dir, data, metrics, detector, path):
