@@ -52,15 +52,29 @@ class PPLReg:
         # param grad.
         ws, k_synth = arch.ws_only(g_vars, z, c, k_run)
 
+        # Perf experiment knobs (BASELINE.md round-5 pod-regime work):
+        # SBG_PPL_DTYPE=bf16 runs the vjp cotangent flow in bf16 (halves
+        # the HBM traffic of the transposed-conv intermediates and layout
+        # copies the trace attributes to this program); SBG_PPL_REMAT=1
+        # rematerializes the synthesis forward inside the pullback.
+        import os
+        ppl_bf16 = os.environ.get("SBG_PPL_DTYPE", "f32") == "bf16"
+        ppl_remat = os.environ.get("SBG_PPL_REMAT", "0") == "1"
+        out_dtype = jnp.bfloat16 if ppl_bf16 else jnp.float32
+
         def synth32(ws_in):
             im = arch.G.apply(g_vars, ws_in, method=arch.G.synthesize,
                               rngs={"noise": k_synth})
-            return im.astype(jnp.float32)
+            return im.astype(out_dtype)
 
+        if ppl_remat:
+            synth32 = jax.checkpoint(synth32)
         img, pullback = jax.vjp(synth32, ws)
         h, w = img.shape[1], img.shape[2]
-        pl_noise = jax.random.normal(k_noise, img.shape, jnp.float32) / np.sqrt(h * w)
+        pl_noise = (jax.random.normal(k_noise, img.shape, out_dtype)
+                    / np.sqrt(h * w)).astype(out_dtype)
         (pl_grads,) = pullback(pl_noise)
+        pl_grads = pl_grads.astype(jnp.float32)
         pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2),
                                        axis=1))
         pl_mean_old = reg_state["pl_mean"]

@@ -96,11 +96,19 @@ class StepBuilder:
         self.cycle_step = jax.jit(self._cycle)
 
     def d_step(self, state, real_img, real_c, gen_c):
+        if self.rounds > 1:
+            # Memory-lean path: under gradient accumulation the fakes are
+            # generated INSIDE each microbatch round (peak G activation =
+            # batch_device, not the global batch).  The full-batch rollout
+            # at 1024px holds a [batch, 1024, 1024, C] pyramid that
+            # exceeds HBM even though every consumer only ever sees
+            # batch_device-sized slices.
+            return self._d_update_jit(state, None, real_img, real_c, gen_c)
         state, fake = self._rollout_jit(state, gen_c)
         return self._d_update_jit(state, fake, real_img, real_c, gen_c)
 
     def d_reg_step(self, state, real_img, real_c, gen_c):
-        if self.arch.d_reg_needs_fake:
+        if self.arch.d_reg_needs_fake and self.rounds <= 1:
             state, fake = self._rollout_jit(state, gen_c)
         else:
             fake = None
@@ -223,23 +231,53 @@ class StepBuilder:
 
     def _d_update(self, state: GANTrainState, fake_img, real_img, real_c,
                   gen_c):
-        """Dmain (+fused Dreg) + optimizer (reference: losses_base.py:65-81)."""
-        rng, k_run, k_reg = jax.random.split(state.rng, 3)
+        """Dmain (+fused Dreg) + optimizer (reference: losses_base.py:65-81).
 
-        def loss_fn(params_d, fake_img, real_img, real_c, gen_c, key):
-            loss, (stats, aux) = self.arch.d_main(
-                params_d, state.d_state, fake_img, real_img, real_c,
-                gen_c, key, state.ada_p)
-            if self.fuse_d_reg and self.arch.dis_regs:
-                rloss, (rstats, _) = self.arch.d_reg(
+        ``fake_img=None`` selects the accumulation-rounds rollout: fakes
+        are generated per microbatch round inside the round scan (from the
+        round's slice of a full-batch z), so the G forward runs at
+        batch_device instead of the global batch — the only shape that
+        fits HBM at 1024px.  The fakes stay detached either way."""
+        if fake_img is None:
+            rng, k_z, k_run, k_reg = jax.random.split(state.rng, 4)
+            gen_z = self._sample_z(k_z, gen_c.shape[0])
+            g_vars = {"params": jax.lax.stop_gradient(state.params_g),
+                      **state.g_state}
+
+            def loss_fn(params_d, gen_z, real_img, real_c, gen_c, key):
+                k_g, k_d = jax.random.split(key)
+                fake, _ = self.arch.run_G(g_vars, gen_z, gen_c, k_g,
+                                          update_emas=False)
+                fake = jax.lax.stop_gradient(fake)
+                loss, (stats, aux) = self.arch.d_main(
+                    params_d, state.d_state, fake, real_img, real_c,
+                    gen_c, k_d, state.ada_p)
+                if self.fuse_d_reg and self.arch.dis_regs:
+                    rloss, (rstats, _) = self.arch.d_reg(
+                        params_d, state.d_state, fake, real_img, real_c,
+                        gen_c, k_reg, state.ada_p, state.reg_state, 1.0)
+                    loss, stats = loss + rloss, {**stats, **rstats}
+                return loss, (stats, aux)
+
+            batch_args = (gen_z, real_img, real_c, gen_c)
+        else:
+            rng, k_run, k_reg = jax.random.split(state.rng, 3)
+
+            def loss_fn(params_d, fake_img, real_img, real_c, gen_c, key):
+                loss, (stats, aux) = self.arch.d_main(
                     params_d, state.d_state, fake_img, real_img, real_c,
-                    gen_c, k_reg, state.ada_p, state.reg_state, 1.0)
-                loss, stats = loss + rloss, {**stats, **rstats}
-            return loss, (stats, aux)
+                    gen_c, key, state.ada_p)
+                if self.fuse_d_reg and self.arch.dis_regs:
+                    rloss, (rstats, _) = self.arch.d_reg(
+                        params_d, state.d_state, fake_img, real_img, real_c,
+                        gen_c, k_reg, state.ada_p, state.reg_state, 1.0)
+                    loss, stats = loss + rloss, {**stats, **rstats}
+                return loss, (stats, aux)
+
+            batch_args = (fake_img, real_img, real_c, gen_c)
 
         grads, stats, aux = self._accum_grads(
-            loss_fn, state.params_d, (fake_img, real_img, real_c, gen_c),
-            k_run)
+            loss_fn, state.params_d, batch_args, k_run)
         grads = _scrub(grads)
         updates, opt_d = self.opt_d_tx.update(grads, state.opt_d,
                                               state.params_d)
@@ -290,8 +328,11 @@ class StepBuilder:
                 real = reals[i]
                 rc = rcs[i] if scan_c else rc0
                 gc = gcs[i] if scan_c else gc0
-                s, fake = self._rollout(s, gc)
-                s, d_stats = self._d_update(s, fake, real, rc, gc)
+                if self.rounds > 1:
+                    s, d_stats = self._d_update(s, None, real, rc, gc)
+                else:
+                    s, fake = self._rollout(s, gc)
+                    s, d_stats = self._d_update(s, fake, real, rc, gc)
                 d_stats_all.append(d_stats)
                 if i == 0:
                     s, g_stats = self._g_step(s, gc, beta)
@@ -315,7 +356,25 @@ class StepBuilder:
         """Lazy Dreg (R1 / WGAN-GP) (reference: regularizations.py:40-85)."""
         rng, k_run = jax.random.split(state.rng, 2)
 
-        if fake_img is None:
+        if fake_img is None and self.arch.d_reg_needs_fake:
+            # accumulation rounds: per-round in-program rollout (see
+            # _d_update's memory-lean path).
+            rng, k_z, k_run = jax.random.split(state.rng, 3)
+            gen_z = self._sample_z(k_z, gen_c.shape[0])
+            g_vars = {"params": jax.lax.stop_gradient(state.params_g),
+                      **state.g_state}
+
+            def loss_fn(params_d, gen_z, real_img, real_c, gen_c, key):
+                k_g, k_d = jax.random.split(key)
+                fake, _ = self.arch.run_G(g_vars, gen_z, gen_c, k_g,
+                                          update_emas=False)
+                fake = jax.lax.stop_gradient(fake)
+                return self.arch.d_reg(
+                    params_d, state.d_state, fake, real_img, real_c,
+                    gen_c, k_d, state.ada_p, state.reg_state,
+                    self.d_reg_gain)
+            batch_args = (gen_z, real_img, real_c, gen_c)
+        elif fake_img is None:
             def loss_fn(params_d, real_img, real_c, gen_c, key):
                 return self.arch.d_reg(
                     params_d, state.d_state, None, real_img, real_c,

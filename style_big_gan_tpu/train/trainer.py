@@ -807,13 +807,23 @@ class BaseTrainer:
         n = labels.shape[0]
         rng = np.random.RandomState(a.seed)
         out = []
-        bs = min(64, n)
+        # HBM-aware chunking: the EMA forward holds full-resolution
+        # activation pyramids, so cap the per-dispatch batch by pixel
+        # count (64 was safe at 512px on a 16G-HBM chip; scale down from
+        # there — at 1024px this is 16).  Pad the tail chunk to the same
+        # shape so the jitted apply compiles exactly once.
+        res = int(getattr(self.G, "img_resolution", 256))
+        bs = min(64, n, max(4, (64 * 512 * 512) // (res * res)))
         for i in range(0, n, bs):
             lab = labels[i:i + bs]
+            take = lab.shape[0]
             if a.label_dim == 0:
-                lab = np.zeros((lab.shape[0], 0), np.float32)
-            out.append(np.asarray(self.generate_images_ema(lab.shape[0], rng,
-                                                           labels=lab)))
+                lab = np.zeros((take, 0), np.float32)
+            if take < bs:
+                pad = np.repeat(lab[-1:], bs - take, axis=0)
+                lab = np.concatenate([lab, pad], axis=0)
+            imgs = np.asarray(self.generate_images_ema(bs, rng, labels=lab))
+            out.append(imgs[:take])
         fakes = np.concatenate(out, axis=0)
         tag = "init" if cur_nimg is None else f"{cur_nimg // 1000:06d}"
         save_image_grid(fakes.astype(np.float32) / 127.5 - 1.0,

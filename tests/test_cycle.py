@@ -19,7 +19,8 @@ from style_big_gan_tpu.train.steps import StepBuilder
 registries._import_all()
 
 
-def _build(cycle_g_reg_tail=False, gen_regs=(), dis_regs=(), c_dim=0):
+def _build(cycle_g_reg_tail=False, gen_regs=(), dis_regs=(), c_dim=0,
+           num_accum_rounds=1):
     # 16px / tiny widths: the coverage here is SCHEDULE math (rng split
     # order, optimizer updates, EMA, reg windows), not model capacity —
     # XLA:CPU compile time scales with the block ladder, so keep it minimal
@@ -47,7 +48,8 @@ def _build(cycle_g_reg_tail=False, gen_regs=(), dis_regs=(), c_dim=0):
     tx = optax.adam(2e-3)
     state = create_train_state(jax.random.PRNGKey(3), pg, gs, pd, ds, tx, tx,
                                gen_regs=arch.gen_regs)
-    steps = StepBuilder(arch, tx, tx, z_dim=zw, num_accum_rounds=1,
+    steps = StepBuilder(arch, tx, tx, z_dim=zw,
+                        num_accum_rounds=num_accum_rounds,
                         g_reg_gain=4.0, d_reg_gain=16.0, donate=False,
                         cycle_g_reg_tail=cycle_g_reg_tail)
     return steps, state
@@ -94,6 +96,37 @@ def test_cycle_matches_sequential_steps():
         for name, v in ss.items():
             np.testing.assert_allclose(np.asarray(stats[name])[i],
                                        np.asarray(v), rtol=2e-4, atol=1e-5)
+
+
+def test_cycle_matches_sequential_under_accumulation():
+    """Gradient accumulation (batch_device < batch, the 1024px regime)
+    inside the scanned cycle: the memory-lean per-round rollout
+    (StepBuilder._d_update with fake_img=None) must leave cycle ==
+    sequential d_step/g_step exactly as in the rounds=1 case."""
+    steps, state0 = _build(num_accum_rounds=2)
+    k, n, res = 2, 4, 16
+    rnd = np.random.RandomState(1)
+    reals = jnp.asarray(rnd.randn(k, n, res, res, 3).astype(np.float32))
+    cs = jnp.zeros((k, n, 0), jnp.float32)
+    betas = jnp.asarray([0.9, 0.99], jnp.float32)
+
+    s = state0
+    for i in range(k):
+        s, d_stats = steps.d_step(s, reals[i], cs[i], cs[i])
+        assert np.isfinite(jax.device_get(d_stats["Loss/D/loss"]))
+        s, _ = steps.g_step(s, cs[i], betas[i])
+    seq = s
+
+    cyc, stats, _ = steps.cycle_step(state0, reals, cs, cs, betas)
+    assert np.isfinite(jax.device_get(stats["Loss/D/loss"])).all()
+    flat_a = jax.tree_util.tree_leaves(
+        jax.device_get((seq.params_g, seq.params_d, seq.params_g_ema)))
+    flat_b = jax.tree_util.tree_leaves(
+        jax.device_get((cyc.params_g, cyc.params_d, cyc.params_g_ema)))
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa, np.float64),
+                                   np.asarray(xb, np.float64),
+                                   rtol=3e-4, atol=1e-4)
 
 
 def test_cycle_conditional_labels_scanned():

@@ -141,6 +141,21 @@ def test_d_reg_step_r1():
     assert _leaf_changed(state.params_d, state2.params_d)
 
 
+def test_d_reg_step_grad_pen_under_accumulation():
+    """grad_pen needs fakes inside the lazy Dreg phase; with
+    num_accum_rounds > 1 the memory-lean path generates them per
+    microbatch round inside the round scan (StepBuilder._d_reg_update,
+    fake_img=None + d_reg_needs_fake — the 1024px HBM regime)."""
+    steps, state = tiny_setup(dis_regs=("grad_pen",), accum=2)
+    real = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32, 3),
+                       jnp.float32)
+    c = jnp.zeros((4, 0))
+    state2, stats = steps.d_reg_step(state, real, c, c)
+    assert np.isfinite(stats["Loss/D/grad_pen"])
+    assert _leaf_changed(state.params_d, state2.params_d)
+    assert not _leaf_changed(state.params_g, state2.params_g)
+
+
 def test_d_reg_step_grad_pen():
     steps, state = tiny_setup(dis_regs=("grad_pen",))
     real = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32, 3), jnp.float32)
@@ -176,6 +191,40 @@ def test_r1_math_linear_d():
                                None, None, jax.random.PRNGKey(0), None)
     expected = 2.0 * float(jnp.sum(w * w))   # gamma/2 * ||grad||^2, grad = w
     np.testing.assert_allclose(float(loss), expected, rtol=1e-4)
+
+
+def test_ppl_reg_env_knobs(monkeypatch):
+    """SBG_PPL_DTYPE=bf16 / SBG_PPL_REMAT=1 (perf-experiment switches,
+    BASELINE.md round-5) produce finite penalties close to the f32 path."""
+    G = registries.generators["sg2_classic"](
+        z_dim=16, w_dim=16, img_resolution=16, channel_base=256,
+        channel_max=32, mapping_kwargs={"num_layers": 1})
+    arch = registries.losses_arch["sg2"](style_mixing_prob=0.0)
+    arch.initialize(G, None, registries.losses["softplus"](), [], [], None)
+    reg = registries.generator_regs["ppl"]()
+    z = jnp.zeros((4, 16))
+    gv = G.init({"params": jax.random.PRNGKey(0),
+                 "noise": jax.random.PRNGKey(1)}, z, None)
+    from style_big_gan_tpu.train.loss_arch import split_vars
+    pg, gs = split_vars(gv)
+    zr = jnp.asarray(np.random.RandomState(0).randn(4, 16), jnp.float32)
+
+    def run():
+        loss, _, st = reg.calc_reg(arch, pg, gs, zr, None,
+                                   jax.random.PRNGKey(2),
+                                   {"pl_mean": jnp.zeros(())})
+        return float(loss), float(st["pl_mean"])
+
+    base_loss, base_mean = run()
+    monkeypatch.setenv("SBG_PPL_REMAT", "1")
+    remat_loss, remat_mean = run()
+    np.testing.assert_allclose(remat_loss, base_loss, rtol=1e-5)
+    np.testing.assert_allclose(remat_mean, base_mean, rtol=1e-5)
+    monkeypatch.setenv("SBG_PPL_REMAT", "0")
+    monkeypatch.setenv("SBG_PPL_DTYPE", "bf16")
+    bf_loss, bf_mean = run()
+    assert np.isfinite(bf_loss) and bf_mean > 0.0
+    np.testing.assert_allclose(bf_mean, base_mean, rtol=0.1)
 
 
 def test_ppl_reg_with_sg2():
