@@ -34,17 +34,20 @@ class DCGANGeneratorCore(nn.Module):
     z_dim: int
     first_kernel: int       # M: 2 -> 32x32 output, 4 -> 48/64-family
     img_channels: int = 3
+    base_width: int = 1024  # top deconv width; the ladder is /2 /4 /8
 
     @nn.compact
     def __call__(self, z, c=None, noise_mode: str = "random",
                  train: bool = True, update_emas: bool = False):
         x = z.reshape(z.shape[0], 1, 1, self.z_dim)
         m = self.first_kernel
-        # ConvTranspose z -> 1024 x M x M (valid).
-        x = nn.ConvTranspose(1024, (m, m), strides=(1, 1), padding="VALID",
+        # ConvTranspose z -> base_width x M x M (valid).
+        x = nn.ConvTranspose(self.base_width, (m, m), strides=(1, 1),
+                             padding="VALID",
                              use_bias=False, name="deconv0")(x)
         x = nn.relu(_BN(not train, name="bn0")(x))
-        for i, ch in enumerate([512, 256, 128]):
+        for i, ch in enumerate([self.base_width // 2, self.base_width // 4,
+                                self.base_width // 8]):
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
                                  use_bias=False, name=f"deconv{i + 1}")(x)
             x = nn.relu(_BN(not train, name=f"bn{i + 1}")(x))
@@ -76,13 +79,15 @@ class DCGANGenerator48(DCGANGeneratorCore):
 class DCGANDiscriminatorCore(nn.Module):
     img_resolution: int = 32
     img_channels: int = 3
+    base_width: int = 512   # deepest conv width; the ladder is /8 /4 /2 up
 
     @nn.compact
     def __call__(self, x, c=None, train: bool = True, update_emas: bool = False):
-        x = nn.Conv(64, (5, 5), strides=(2, 2), padding=2, use_bias=False,
-                    name="conv0")(x)
+        x = nn.Conv(self.base_width // 8, (5, 5), strides=(2, 2), padding=2,
+                    use_bias=False, name="conv0")(x)
         x = nn.leaky_relu(x, 0.2)
-        for i, ch in enumerate([128, 256, 512]):
+        for i, ch in enumerate([self.base_width // 4, self.base_width // 2,
+                                self.base_width]):
             x = nn.Conv(ch, (5, 5), strides=(2, 2), padding=2, use_bias=False,
                         name=f"conv{i + 1}")(x)
             x = nn.leaky_relu(x, 0.2)

@@ -72,14 +72,16 @@ class ResGenerator32(nn.Module):
     c_dim: int = 0
     img_resolution: int = 32
     img_channels: int = 3
+    base_width: int = 256   # width of every gen block (reference fixes 256)
 
     @nn.compact
     def __call__(self, z, c=None, noise_mode: str = "random",
                  train: bool = True, update_emas: bool = False):
-        x = nn.Dense(4 * 4 * 256, kernel_init=_xavier, name="linear")(z)
-        x = x.reshape(z.shape[0], 4, 4, 256)
+        w = self.base_width
+        x = nn.Dense(4 * 4 * w, kernel_init=_xavier, name="linear")(z)
+        x = x.reshape(z.shape[0], 4, 4, w)
         for i in range(3):
-            x = ResGenBlock(256, train=train, name=f"block{i}")(x)
+            x = ResGenBlock(w, train=train, name=f"block{i}")(x)
         x = _BN(train, name="bn_out")(x)
         x = nn.relu(x)
         x = nn.Conv(self.img_channels, (3, 3), padding=1, kernel_init=_xavier,
@@ -171,14 +173,16 @@ class ResDiscriminator32(nn.Module):
     img_resolution: int = 32
     img_channels: int = 3
     use_sn: bool = True
+    base_width: int = 128   # width of every dis block (reference fixes 128)
 
     @nn.compact
     def __call__(self, x, c=None, train: bool = True, update_emas: bool = False):
         update_stats = train
-        x = OptimizedResDisBlock(128, self.use_sn, name="block0")(x, update_stats)
-        x = ResDisBlock(128, self.use_sn, down=True, name="block1")(x, update_stats)
-        x = ResDisBlock(128, self.use_sn, name="block2")(x, update_stats)
-        x = ResDisBlock(128, self.use_sn, name="block3")(x, update_stats)
+        w = self.base_width
+        x = OptimizedResDisBlock(w, self.use_sn, name="block0")(x, update_stats)
+        x = ResDisBlock(w, self.use_sn, down=True, name="block1")(x, update_stats)
+        x = ResDisBlock(w, self.use_sn, name="block2")(x, update_stats)
+        x = ResDisBlock(w, self.use_sn, name="block3")(x, update_stats)
         x = nn.relu(x)
         x = jnp.sum(x, axis=(1, 2))
         if self.use_sn:

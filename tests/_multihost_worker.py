@@ -64,8 +64,8 @@ def main():
     from style_big_gan_tpu.train.steps import StepBuilder
 
     mesh = mesh_lib.make_mesh(4, 1)
-    G = registries.generators["cnn32_dcgan"](z_dim=32)
-    D = registries.discriminators["cnn32_dcgan"]()
+    G = registries.generators["cnn32_dcgan"](z_dim=32, base_width=64)
+    D = registries.discriminators["cnn32_dcgan"](base_width=64)
     arch = registries.losses_arch["base"]()
     arch.initialize(G, D, registries.losses["bcew"](), [], [], None)
 

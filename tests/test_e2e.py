@@ -70,6 +70,17 @@ def _overrides(tiny_zip, tmp_path, extra=(), devices=1):
         # snapshot gather) is exercised by test_dcgan_end_to_end_multidevice
         # below on 2 devices (and manually verified green on all 8).
         f"perf.devices={devices}",
+        # Micro widths for every 32px recipe family: these tests cover the
+        # staged trainer + phase engine, not model capacity, and XLA:CPU
+        # compile+run at the shipped widths (1024-wide DCGAN, 256-wide
+        # resnets) dominated the lane.  Overrides for models a given
+        # recipe doesn't select are inert.
+        "gens_args.cnn32_dcgan.base_width=64",
+        "discs_args.cnn32_dcgan.base_width=64",
+        "gens_args.res32_wgan.base_width=32",
+        "discs_args.res32_wgan.base_width=32",
+        "gens_args.res32_sngan.base_width=32",
+        "discs_args.res32_sngan.base_width=32",
     ] + list(extra)
 
 

@@ -179,8 +179,8 @@ def test_sharded_step_matches_single_device():
     from style_big_gan_tpu.train.state import create_train_state
     from style_big_gan_tpu.train.steps import StepBuilder
 
-    G = registries.generators["cnn32_dcgan"](z_dim=8)
-    D = registries.discriminators["cnn32_dcgan"]()
+    G = registries.generators["cnn32_dcgan"](z_dim=8, base_width=64)
+    D = registries.discriminators["cnn32_dcgan"](base_width=64)
     arch = registries.losses_arch["base"]()
     arch.initialize(G, D, registries.losses["bcew"](), [], [], None)
     z = jnp.zeros((2, 8))
@@ -229,8 +229,8 @@ def test_tp_sharded_step_matches_replicated():
     from style_big_gan_tpu.train.state import create_train_state
     from style_big_gan_tpu.train.steps import StepBuilder
 
-    G = registries.generators["cnn32_dcgan"](z_dim=8)
-    D = registries.discriminators["cnn32_dcgan"]()
+    G = registries.generators["cnn32_dcgan"](z_dim=8, base_width=64)
+    D = registries.discriminators["cnn32_dcgan"](base_width=64)
     arch = registries.losses_arch["base"]()
     arch.initialize(G, D, registries.losses["bcew"](), [], [], None)
     z = jnp.zeros((2, 8))
@@ -282,8 +282,8 @@ def test_tp_cycle_step_matches_replicated():
     from style_big_gan_tpu.train.state import create_train_state
     from style_big_gan_tpu.train.steps import StepBuilder
 
-    G = registries.generators["cnn32_dcgan"](z_dim=8)
-    D = registries.discriminators["cnn32_dcgan"]()
+    G = registries.generators["cnn32_dcgan"](z_dim=8, base_width=64)
+    D = registries.discriminators["cnn32_dcgan"](base_width=64)
     arch = registries.losses_arch["base"]()
     arch.initialize(G, D, registries.losses["bcew"](), [], [], None)
     z = jnp.zeros((2, 8))

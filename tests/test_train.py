@@ -46,8 +46,12 @@ def test_loss_formulas():
 
 def tiny_setup(loss_arch="base", loss="bcew", gen_regs=(), dis_regs=(),
                accum=1, fuse_d_reg=False):
-    G = registries.generators["cnn32_dcgan"](z_dim=16)
-    D = registries.discriminators["cnn32_dcgan"]()
+    # base_width shrinks the DCGAN ladder to micro widths: these tests
+    # cover step MACHINERY (rng split order, optimizer wiring, reg
+    # windows), not model capacity — XLA:CPU compile+run time at the
+    # real 1024-wide ladder dominated this file's wall time.
+    G = registries.generators["cnn32_dcgan"](z_dim=16, base_width=64)
+    D = registries.discriminators["cnn32_dcgan"](base_width=64)
     arch = registries.losses_arch[loss_arch]() if loss_arch == "base" else \
         registries.losses_arch[loss_arch](style_mixing_prob=0.5)
     gen_reg_objs = [registries.generator_regs[n]() for n in gen_regs]
